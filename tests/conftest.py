@@ -7,7 +7,11 @@ top of conftest (pytest imports it before any test module).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: the ambient environment points JAX at a tunneled
+# TPU (and a sitecustomize hook re-registers it regardless of the env var),
+# which tests must never grab. The jax.config update below is the override
+# that actually sticks.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pytest
+
+# Persistent XLA compilation cache: compiles dominate test wall-clock on the
+# CPU backend, and the shapes are stable across runs.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/vtaco_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 @pytest.fixture

@@ -1,0 +1,242 @@
+"""Dataset + host input pipeline.
+
+``Shapes3dDataset`` mirrors the reference's directory-per-category layout
+and field protocol (src/data/core.py:36-251): model lists come from
+``<split>.lst`` files, optional ``metadata.yaml`` maps category ids to
+names, and each sample is the flattened union of its fields' dicts. Failed
+samples are skipped (the reference returns None and filters in collate,
+core.py:154-164, 254-263).
+
+The loader is a thread-prefetching batcher producing fixed-shape numpy
+dicts ready for device put — the TPU-side equivalent of the reference's
+torch DataLoader with worker processes (train.py:63-77).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import yaml
+
+logger = logging.getLogger(__name__)
+
+
+class Shapes3dDataset:
+    def __init__(self, dataset_folder, fields, split=None, categories=None,
+                 no_except=True, transform=None, cfg=None):
+        self.dataset_folder = dataset_folder
+        self.fields = fields
+        self.no_except = no_except
+        self.transform = transform
+        self.cfg = cfg
+
+        if categories is None:
+            categories = [
+                c for c in sorted(os.listdir(dataset_folder))
+                if os.path.isdir(os.path.join(dataset_folder, c))
+            ]
+
+        metadata_file = os.path.join(dataset_folder, "metadata.yaml")
+        if os.path.exists(metadata_file):
+            with open(metadata_file) as f:
+                self.metadata = yaml.safe_load(f)
+        else:
+            self.metadata = {c: {"id": c, "name": "n/a"} for c in categories}
+        for c_idx, c in enumerate(categories):
+            self.metadata[c]["idx"] = c_idx
+
+        self.models = []
+        for c_idx, c in enumerate(categories):
+            subpath = os.path.join(dataset_folder, c)
+            if not os.path.isdir(subpath):
+                logger.warning("Category %s does not exist in dataset.", c)
+                continue
+            if split is None:
+                models_c = sorted(
+                    d for d in os.listdir(subpath)
+                    if os.path.isdir(os.path.join(subpath, d))
+                )
+            else:
+                with open(os.path.join(subpath, split + ".lst")) as f:
+                    models_c = [m for m in f.read().split("\n") if m]
+            self.models += [{"category": c, "model": m} for m in models_c]
+
+    def __len__(self):
+        return len(self.models)
+
+    def __getitem__(self, idx):
+        category = self.models[idx]["category"]
+        model = self.models[idx]["model"]
+        c_idx = self.metadata[category]["idx"]
+        model_path = os.path.join(self.dataset_folder, category, model)
+        data = {}
+        for field_name, field in self.fields.items():
+            try:
+                field_data = field.load(model_path, idx, c_idx)
+            except Exception:
+                if self.no_except:
+                    logger.warning(
+                        "Error occurred when loading field %s of model %s",
+                        field_name, model,
+                    )
+                    return None
+                raise
+            if isinstance(field_data, dict):
+                for k, v in field_data.items():
+                    if k is None:
+                        data[field_name] = np.asarray(v, np.float32)
+                    elif k == "name":
+                        data[f"{field_name}.{k}"] = v
+                    else:
+                        data[f"{field_name}.{k}"] = np.asarray(v, np.float32)
+            else:
+                data[field_name] = field_data
+        if self.transform is not None:
+            data = self.transform(data)
+        return data
+
+    def get_model_dict(self, idx):
+        return self.models[idx]
+
+    def test_model_complete(self, category, model):
+        model_path = os.path.join(self.dataset_folder, category, model)
+        files = os.listdir(model_path)
+        for field_name, field in self.fields.items():
+            if not field.check_complete(files):
+                logger.warning("Field '%s' is incomplete: %s", field_name, model_path)
+                return False
+        return True
+
+
+def collate_batch(samples):
+    """Stack a list of sample dicts into one numpy batch dict; None samples
+    (field load failures) are dropped first (collate_remove_none,
+    src/data/core.py:254-263)."""
+    samples = [s for s in samples if s is not None]
+    if not samples:
+        return None
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], str):
+            out[k] = list(vals)
+        else:
+            out[k] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+class BatchLoader:
+    """Shuffling, thread-prefetching batch iterator.
+
+    drop_last=True for training (fixed batch shapes keep the jitted step
+    from re-compiling); the val loader uses batch_size=1 like the
+    reference (train.py:68-71).
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
+                 drop_last=None, seed=None, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for idxs in batches:
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    q.put(collate_batch(samples))
+            q.put(stop)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if item is not None:
+                yield item
+
+
+def get_dataset(mode, cfg, return_idx=False):
+    """Top-level dataset factory (src/config.py:121-166)."""
+    from vtaco_tpu.core.factory import get_data_fields
+    from vtaco_tpu.data import fields as F
+    from vtaco_tpu.data.transforms import (
+        Compose,
+        PointcloudNoise,
+        SubsamplePointcloud,
+    )
+
+    dataset_type = cfg["data"]["dataset"]
+    dataset_folder = cfg["data"]["path"]
+    categories = cfg["data"]["classes"]
+    splits = {
+        "train": cfg["data"]["train_split"],
+        "val": cfg["data"]["val_split"],
+        "test": cfg["data"]["test_split"],
+    }
+    split = splits[mode]
+    if dataset_type != "Shapes3D":
+        raise ValueError(f'Invalid dataset "{dataset_type}"')
+
+    flds = get_data_fields(mode, cfg)
+    input_type = cfg["data"]["input_type"]
+    if input_type == "pointcloud":
+        transform = Compose([
+            SubsamplePointcloud(cfg["data"]["pointcloud_n"]),
+            PointcloudNoise(cfg["data"]["pointcloud_noise"]),
+        ])
+        flds["inputs"] = F.PointCloudField(
+            cfg["data"]["pointcloud_file"], transform,
+            multi_files=cfg["data"].get("multi_files"),
+        )
+    elif input_type == "partial_pointcloud":
+        transform = Compose([
+            SubsamplePointcloud(cfg["data"]["pointcloud_n"]),
+            PointcloudNoise(cfg["data"]["pointcloud_noise"]),
+        ])
+        flds["inputs"] = F.PartialPointCloudField(
+            cfg["data"]["pointcloud_file"], transform,
+            multi_files=cfg["data"].get("multi_files"),
+        )
+    elif input_type == "voxels":
+        flds["inputs"] = F.VoxelsField(cfg["data"]["voxels_file"])
+    elif input_type == "idx":
+        flds["inputs"] = F.IndexField()
+    elif input_type is not None:
+        raise ValueError(f"Invalid input type ({input_type})")
+
+    if return_idx:
+        flds["idx"] = F.IndexField()
+
+    return Shapes3dDataset(
+        dataset_folder, flds, split=split, categories=categories, cfg=cfg
+    )
