@@ -1,0 +1,183 @@
+"""Benchmark: full-object occupancy decode + mesh extraction on one chip.
+
+Primary metric (BASELINE.json): occupancy query points/sec/chip through the
+fused per-point-feature + interpolate + MLP decode of the flagship
+VTacO_YCB model, measured over the reference's dense mesh-extraction grid
+(nx = 128 → 2,097,152 query points, generation.py:119-157). Also reports
+the end-to-end per-object mesh latency (encode → decode → host marching
+cubes).
+
+``vs_baseline`` is measured against the driver north star of one full
+128³-grid object decode per second on a v5e chip (BASELINE.md: "<1 s/object
+full-mesh reconstruction"): vs_baseline = decoded-grids-per-second, so
+values > 1 beat the target. (The reference publishes no numbers of its own
+— BASELINE.md §"published".)
+
+Usage: python bench.py [--cpu] [--nx 128] [--chunk 131072] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--nx", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=131072)
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrink the model (CPU smoke)")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vtaco_tpu.core.config import get_model, load_config
+    from vtaco_tpu.generate.generator import Generator3D
+    from vtaco_tpu.generate.marching_cubes import marching_cubes
+    from vtaco_tpu.ops.geometry import make_3d_grid
+
+    dev = jax.devices()[0]
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(
+        os.path.join(here, "configs/VTacO/VTacO_YCB.yaml"),
+        os.path.join(here, "configs/default.yaml"),
+    )
+    H, W = 320, 240
+    if args.tiny:
+        m = cfg["model"]
+        m["encoder_kwargs"].update(hidden_dim=8, grid_resolution=16)
+        m["encoder_kwargs"]["unet3d_kwargs"].update(
+            num_levels=2, f_maps=8, out_channels=32
+        )
+        m["encoder_hand_kwargs"].update(hidden_dim=8, plane_resolution=8)
+        m["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
+        tk = m["encoder_t2d_kwargs"]
+        tk["encoder_hand_kwargs"].update(hidden_dim=8, plane_resolution=8)
+        tk["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
+        tk["encoder_img_kwargs"].update(depth=2, start_filts=8)
+        H, W = 32, 24
+
+    model, _ = get_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(rng, (1, 3000, 3), minval=-0.45, maxval=0.45)
+    imgs = jax.random.uniform(rng, (1, 5, H, W, 3), maxval=1 / 255)
+
+    # init every path used below
+    def init_fn(m):
+        c = m.encode_inputs(pts, train=False)
+        m.encode_hand_inputs(pts, train=False)
+        ci = m.encode_img_inputs(imgs, train=False)
+        m.encode_t2d(pts, imgs, train=False)
+        p0 = jnp.zeros((1, 8, 3))
+        m.decode_img(p0, c, jnp.zeros((1, 8, ci.shape[-1])))
+
+    t0 = time.time()
+    variables = jax.jit(lambda: model.init(rng, method=init_fn))()
+    jax.block_until_ready(variables)
+    t_init = time.time() - t0
+
+    gen = Generator3D(
+        model,
+        points_batch_size=args.chunk,
+        resolution0=args.nx // 4,
+        padding=cfg["data"]["padding"],
+        with_img=True,
+        encode_t2d=True,
+    )
+
+    class FakeState:
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+    state = FakeState()
+
+    # --- encode once ------------------------------------------------------
+    encode = jax.jit(
+        lambda v, x: model.apply(v, x, train=False, method=model.encode_inputs)
+    )
+    t0 = time.time()
+    c = encode(variables, pts)
+    jax.block_until_ready(c)
+    t_encode_compile = time.time() - t0
+    t0 = time.time()
+    c = encode(variables, pts)
+    jax.block_until_ready(c)
+    t_encode = time.time() - t0
+
+    # tactile feature gating inputs (synthetic contact points)
+    c_img = model.apply(variables, imgs, train=False,
+                        method=model.encode_img_inputs)
+    gate_pts = jax.random.uniform(
+        jax.random.PRNGKey(1), (5, 128, 3), minval=-0.3, maxval=0.3
+    )
+    gate_valid = jnp.ones((5, 128), bool)
+    gate_feat = c_img[0]
+
+    nx = args.nx
+    box = 1 + cfg["data"]["padding"]
+    pointsf = box * make_3d_grid((-0.5,) * 3, (0.5,) * 3, (nx,) * 3)
+    n_points = pointsf.shape[0]
+
+    # --- decode throughput ------------------------------------------------
+    t0 = time.time()
+    values = gen.eval_points(state, pointsf, c, "contact", gate_pts,
+                             gate_feat, gate_valid)
+    t_decode_first = time.time() - t0
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        values = gen.eval_points(state, pointsf, c, "contact", gate_pts,
+                                 gate_feat, gate_valid)
+        times.append(time.time() - t0)
+    t_decode = min(times)
+    pts_per_sec = n_points / t_decode
+
+    # --- end-to-end object latency (steady state) ------------------------
+    t0 = time.time()
+    c2 = encode(variables, pts)
+    values = gen.eval_points(state, pointsf, c2, "contact", gate_pts,
+                             gate_feat, gate_valid)
+    grid = values.reshape(nx, nx, nx)
+    verts, faces = marching_cubes(grid, gradient="ascent")
+    t_object = time.time() - t0
+
+    result = {
+        "metric": "occupancy_decode_pts_per_sec_per_chip",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/s",
+        "vs_baseline": round(1.0 / max(t_object, 1e-9), 3),
+        "detail": {
+            "device": str(dev),
+            "nx": nx,
+            "n_points": n_points,
+            "decode_s": round(t_decode, 4),
+            "decode_first_s": round(t_decode_first, 2),
+            "object_latency_s": round(t_object, 4),
+            "encode_s": round(t_encode, 4),
+            "encode_compile_s": round(t_encode_compile, 2),
+            "init_s": round(t_init, 2),
+            "mc_verts": int(len(verts)),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

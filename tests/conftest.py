@@ -28,7 +28,9 @@ import pytest
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/vtaco_jax_cache")
+# NB: cache dir is backend-specific — entries written by the remote-TPU
+# host CPU are not safe to execute here (machine-feature mismatch).
+jax.config.update("jax_compilation_cache_dir", "/tmp/vtaco_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

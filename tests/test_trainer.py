@@ -1,0 +1,175 @@
+"""End-to-end trainer/generator tests on the synthetic dataset (tiny)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from vtaco_tpu.core.config import get_dataset, get_model, load_config
+from vtaco_tpu.data import BatchLoader
+from vtaco_tpu.data.synthetic import generate
+from vtaco_tpu.train.loop import build_mesh_bank
+from vtaco_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth")
+    root, mesh_root = generate(
+        str(out), n_models=4, n_query=500, n_surface=1000,
+        img_h=16, img_w=12, seed=7,
+    )
+    return root, mesh_root
+
+
+def _small_cfg(path, root, mesh_root, **data_over):
+    cfg = load_config(path, "configs/default.yaml")
+    cfg["data"].update(
+        path=root,
+        points_subsample=256,
+        pointcloud_n=128,
+        num_sample=256,
+        mesh_dir=os.path.join(mesh_root, "mesh_obj"),
+        depth_origin=os.path.join(mesh_root, "depth_origin.txt"),
+    )
+    cfg["data"].update(data_over)
+    m = cfg["model"]
+    for kw in (m.get("encoder_kwargs"), m.get("encoder_hand_kwargs")):
+        if isinstance(kw, dict):
+            kw["hidden_dim"] = 8
+    if isinstance(m.get("encoder_kwargs"), dict) and m["encoder_kwargs"].get("unet3d"):
+        m["encoder_kwargs"]["grid_resolution"] = 8
+        m["encoder_kwargs"]["unet3d_kwargs"].update(
+            num_levels=2, f_maps=8, out_channels=32
+        )
+    if isinstance(m.get("encoder_hand_kwargs"), dict):
+        m["encoder_hand_kwargs"]["plane_resolution"] = 8
+        if m["encoder_hand_kwargs"].get("unet"):
+            m["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
+    if isinstance(m.get("encoder_t2d_kwargs"), dict):
+        tk = m["encoder_t2d_kwargs"]
+        tk["encoder_hand_kwargs"].update(hidden_dim=8, plane_resolution=8)
+        tk["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
+        tk["encoder_img_kwargs"].update(depth=2, start_filts=8)
+    if isinstance(m.get("encoder_img_kwargs"), dict) and m.get("encoder_img") == "UNet":
+        m["encoder_img_kwargs"].update(depth=2, start_filts=8)
+    if isinstance(m.get("decoder_kwargs"), dict):
+        m["decoder_kwargs"]["hidden_size"] = 16
+    return cfg
+
+
+def test_tactile_path_trains(synth):
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/tactile/tactile_test.yaml", root, mesh_root)
+    model, _ = get_model(cfg)
+    tr = Trainer.from_config(model, cfg)
+    ds = get_dataset("train", cfg)
+    batch = next(iter(BatchLoader(ds, batch_size=2, num_workers=1, seed=0)))
+    state = tr.init_state(batch)
+    losses = []
+    for _ in range(4):
+        state, sc = tr.train_step(state, batch)
+        losses.append(sc["loss"])
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # overfitting one batch must reduce loss
+    ev = tr.eval_step(state, batch)
+    assert set(ev) >= {"loss", "loss_depth"}
+
+
+def test_vtaco_t2d_img_path(synth):
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/VTacO/VTacO_YCB.yaml", root, mesh_root)
+    model, aux = get_model(cfg)
+    ds = get_dataset("train", cfg)
+    bank = build_mesh_bank(cfg, ds)
+    assert bank is not None and len(bank.names) >= 2
+    tr = Trainer.from_config(model, cfg, mesh_bank=bank, contact_per_finger=32)
+    batch = next(iter(BatchLoader(ds, batch_size=2, num_workers=1, seed=0)))
+    state = tr.init_state(batch)
+    state, sc = tr.train_step(state, batch)
+    assert set(sc) >= {"loss", "loss_l1", "loss_mano", "loss_pc"}
+    assert all(np.isfinite(list(sc.values())))
+    # eval with IoU on winding labels
+    val = get_dataset("val", cfg)
+    vb = next(iter(BatchLoader(val, 1, shuffle=False, num_workers=1)))
+    ev = tr.eval_step(state, vb)
+    assert "iou" in ev and 0.0 <= ev["iou"] <= 1.0
+
+
+def test_vtacoh_img_path(synth):
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/VTacOH/VTacOH_YCB.yaml", root, mesh_root)
+    model, _ = get_model(cfg)
+    ds = get_dataset("train", cfg)
+    tr = Trainer.from_config(model, cfg, tips_per_finger=32)
+    batch = next(iter(BatchLoader(ds, batch_size=2, num_workers=1, seed=0)))
+    state = tr.init_state(batch)
+    state, sc = tr.train_step(state, batch)
+    assert all(np.isfinite(list(sc.values())))
+
+
+def test_checkpoint_roundtrip(synth, tmp_path):
+    from vtaco_tpu.core.checkpoint import CheckpointIO
+
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/tactile/tactile_test.yaml", root, mesh_root)
+    model, _ = get_model(cfg)
+    tr = Trainer.from_config(model, cfg)
+    ds = get_dataset("train", cfg)
+    batch = next(iter(BatchLoader(ds, batch_size=2, num_workers=1, seed=0)))
+    state = tr.init_state(batch)
+    state, _ = tr.train_step(state, batch)
+
+    ckpt = CheckpointIO(str(tmp_path), state=state)
+    ckpt.save("model.ckpt", it=7, epoch_it=1, loss_val_best=0.25)
+    restored, scalars = ckpt.load("model.ckpt", state=state)
+    assert scalars["it"] == 7 and abs(scalars["loss_val_best"] - 0.25) < 1e-9
+    r = restored["state"]
+    a = np.concatenate([np.ravel(x) for x in __import__("jax").tree.leaves(r.params)])
+    b = np.concatenate(
+        [np.ravel(x) for x in __import__("jax").tree.leaves(state.params)]
+    )
+    np.testing.assert_allclose(a, b)
+    with pytest.raises(FileNotFoundError):
+        ckpt.load("missing.ckpt")
+
+
+def test_generator_obj_mesh(synth):
+    from vtaco_tpu.generate.generator import Generator3D
+
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/VTacO/VTacO_YCB.yaml", root, mesh_root)
+    cfg["generation"]["resolution_0"] = 8  # nx = 32
+    cfg["generation"]["batch_size"] = 16384
+    model, _ = get_model(cfg)
+    ds = get_dataset("train", cfg)
+    bank = build_mesh_bank(cfg, ds)
+    tr = Trainer.from_config(model, cfg, mesh_bank=bank, contact_per_finger=32)
+    batch = next(iter(BatchLoader(ds, batch_size=2, num_workers=1, seed=0)))
+    state = tr.init_state(batch)
+
+    gen = Generator3D.from_config(model, cfg, contact_per_finger=32)
+    val = get_dataset("val", cfg, return_idx=True)
+    vb = next(iter(BatchLoader(val, 1, shuffle=False, num_workers=1)))
+    (verts, faces), emd, cd = gen.generate_obj_mesh_wnf(state, vb)
+    assert np.isfinite(emd) and np.isfinite(cd)
+    assert faces.ndim == 2 and faces.shape[1] == 3
+    hv, hf = gen.generate_hand_mesh(state, vb)
+    assert hv.shape == (778, 3) and hf.shape[1] == 3
+
+
+def test_tactile_generator_pc(synth):
+    from vtaco_tpu.generate.generator import Generator3D
+
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/tactile/tactile_test.yaml", root, mesh_root)
+    model, _ = get_model(cfg)
+    tr = Trainer.from_config(model, cfg)
+    ds = get_dataset("train", cfg)
+    batch = next(iter(BatchLoader(ds, batch_size=1, num_workers=1, seed=0)))
+    state = tr.init_state(batch)
+    gen = Generator3D.from_config(model, cfg)
+    pcs = gen.generate_tactile_pc(state, batch)
+    assert pcs.shape == (1, 5, 16 * 12, 3)
+    assert np.isfinite(pcs).all()

@@ -1,0 +1,424 @@
+"""Mesh generation / inference.
+
+Counterpart of src/conv_onet/generation.py:21-383 (Generator3D):
+  * ``generate_obj_mesh_wnf`` — dense nx³ occupancy decode → marching
+    cubes → chamfer + EMD vs the GT surface points;
+  * ``generate_hand_mesh`` — MANO prediction un-canonicalized into the
+    object frame;
+  * ``generate_tactile_pc`` — predicted depth maps back-projected to world
+    point clouds;
+  * ``eval_points`` — the chunked occupancy decode (the BASELINE hot loop).
+
+TPU-first design: the whole per-chunk pipeline — per-point tactile-feature
+gating (fingertip proximity or contact-point proximity) fused with the
+interpolate+MLP decode — is one jitted function; chunks stream through it
+with no host work in between. The reference instead materializes a
+(2.1M, 32) ``c_img_all`` on host with chunked scipy cdist calls
+(generation.py:202-255) before decoding.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vtaco_tpu.generate.marching_cubes import marching_cubes
+from vtaco_tpu.ops import metrics
+from vtaco_tpu.ops.geometry import (
+    R_from_PYR,
+    axisang_to_euler_xyz,
+    make_3d_grid,
+    norm_pc_1,
+    pc_cam_to_world,
+)
+from vtaco_tpu.train import contact as C
+from vtaco_tpu.train.trainer import CAM_FOV, DEPTH_REST
+
+
+class Generator3D:
+    def __init__(
+        self,
+        model,
+        points_batch_size=100000,
+        threshold=0.5,
+        resolution0=16,
+        upsampling_steps=3,
+        padding=0.1,
+        sample=False,
+        refinement_step=0,
+        simplify_nfaces=None,
+        input_type=None,
+        vol_info=None,
+        vol_bound=None,
+        alpha=0.2,
+        with_img=False,
+        encode_t2d=False,
+        contact_per_finger=128,
+        depth_origin=None,
+        legacy_gt_depth=True,
+    ):
+        self.model = model
+        self.points_batch_size = points_batch_size
+        self.threshold = threshold
+        self.resolution0 = resolution0
+        self.upsampling_steps = upsampling_steps
+        self.padding = padding
+        self.input_type = input_type
+        self.alpha = alpha
+        self.with_img = with_img
+        self.encode_t2d = encode_t2d
+        self.contact_per_finger = contact_per_finger
+        self.depth_origin = depth_origin
+        self.legacy_gt_depth = legacy_gt_depth
+        self.vol_bound = vol_bound
+        if vol_info is not None:
+            self.input_vol, _, _ = vol_info
+
+        self._decode_chunk = jax.jit(
+            self._decode_chunk_impl, static_argnames=("gating",)
+        )
+
+    @classmethod
+    def from_config(cls, model, cfg, **kw):
+        """Mirror of conv_onet.config.get_generator
+        (src/conv_onet/config.py:215-269)."""
+        gen = cfg["generation"]
+        depth_origin = None
+        dpath = cfg["data"].get("depth_origin")
+        if dpath and os.path.exists(dpath):
+            depth_origin = np.loadtxt(dpath).astype(np.float32)
+        return cls(
+            model,
+            points_batch_size=gen.get("batch_size", 100000),
+            threshold=cfg["test"]["threshold"],
+            resolution0=gen["resolution_0"],
+            upsampling_steps=gen["upsampling_steps"],
+            sample=gen["use_sampling"],
+            refinement_step=gen["refinement_step"],
+            simplify_nfaces=gen["simplify_nfaces"],
+            input_type=cfg["data"]["input_type"],
+            padding=cfg["data"]["padding"],
+            alpha=gen.get("alpha", 0.2),
+            with_img=cfg["model"]["with_img"],
+            encode_t2d=bool(cfg["model"]["encoder_t2d"]),
+            depth_origin=depth_origin,
+            **kw,
+        )
+
+    # ------------------------------------------------------------------
+    def _vars(self, state):
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
+    def _apply(self, state, method, *args, **kw):
+        return self.model.apply(self._vars(state), *args, method=method, **kw)
+
+    # ------------------------------------------------------------------
+    def _decode_chunk_impl(self, variables, pts, c, gate_pts, gate_feat,
+                           gate_valid, gating):
+        """One fused decode chunk.
+
+        gating == 'none'   : plain decode
+        gating == 'tips'   : per-point feature by nearest-fingertip (<0.05)
+                             [generation.py:195-200]
+        gating == 'contact': per-point feature if any back-projected contact
+                             point of a finger is within 0.015; later
+                             fingers overwrite earlier [generation.py:248-255]
+        """
+        model = self.model
+        p = pts[None]
+        if gating == "none":
+            logits = model.apply(variables, p, c, method=model.decode)
+            return logits[0]
+        if gating == "tips":
+            d = jnp.linalg.norm(
+                pts[:, None, :] - gate_pts[None, :, :], axis=-1
+            )  # (N, 5)
+            near = (jnp.min(d, axis=1) < 0.05)
+            assign = jnp.argmin(d, axis=1)
+            valid = gate_valid[assign] & near
+            feat = gate_feat[assign]
+            c_img = jnp.where(valid[:, None], feat, 0.0)
+        else:  # contact
+            # gate_pts (5, K, 3); gate_valid (5, K) bool; gate_feat (5, C)
+            d = jnp.linalg.norm(
+                pts[:, None, None, :] - gate_pts[None, :, :, :], axis=-1
+            )  # (N, 5, K)
+            within = jnp.any((d < 0.015) & gate_valid[None], axis=-1)  # (N, 5)
+            any_f = jnp.any(within, axis=1)
+            # last touching finger wins (python-loop overwrite order)
+            last_f = 4 - jnp.argmax(within[:, ::-1], axis=1)
+            feat = gate_feat[last_f]
+            c_img = jnp.where(any_f[:, None], feat, 0.0)
+        logits = model.apply(
+            variables, p, c, c_img[None], method=model.decode_img
+        )
+        return logits[0]
+
+    def eval_points(self, state, pointsf, c, gating="none", gate_pts=None,
+                    gate_feat=None, gate_valid=None):
+        """Chunked occupancy decode over (N, 3) host points → (N,) logits.
+
+        The reference's hot loop (generation.py:338-383) with the
+        per-point feature gating fused in.
+        """
+        variables = self._vars(state)
+        n = pointsf.shape[0]
+        bs = self.points_batch_size
+        if gate_pts is None:
+            gate_pts = jnp.zeros((1, 3))
+            gate_feat = jnp.zeros((1, 1))
+            gate_valid = jnp.zeros((1,), bool)
+        outs = []
+        for i in range(0, n, bs):
+            chunk = jnp.asarray(pointsf[i : i + bs])
+            pad = 0
+            if chunk.shape[0] < bs and i > 0:
+                pad = bs - chunk.shape[0]
+                chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
+            logits = self._decode_chunk(
+                variables, chunk, c, gate_pts, gate_feat, gate_valid, gating
+            )
+            outs.append(np.asarray(logits[: chunk.shape[0] - pad if pad else None]))
+        return np.concatenate(outs, axis=0)
+
+    # ------------------------------------------------------------------
+    def generate_obj_mesh_wnf(self, state, data):
+        """Dense-grid decode + marching cubes + metrics.
+
+        Mirrors generation.py:115-284. ``data`` is a B=1 loader batch.
+        Returns ((verts, faces), emd, chamfer).
+        """
+        box_size = 1 + self.padding
+        nx = self.resolution0 * 4
+
+        inputs = jnp.asarray(data["inputs"])
+        imgs = jnp.asarray(data["inputs.img"]) if "inputs.img" in data else None
+        depths = jnp.asarray(data["inputs.depth"]) if "inputs.depth" in data else None
+        touch = (
+            jnp.asarray(np.asarray(data["inputs.touch_success"]) > 0.5)
+            if "inputs.touch_success" in data else None
+        )
+        pc_ply = jnp.asarray(data["inputs.pc_ply"])
+        mano_gt = jnp.asarray(data["points.mano"])
+        points_obj = np.asarray(data["points.points_obj"])
+        wrist = jnp.asarray(data["points.wrist"])
+        cam_pos = jnp.asarray(data["points.cam_pos"])
+        cam_rot = jnp.asarray(data["points.cam_rot"])
+
+        pointsf = box_size * make_3d_grid((-0.5,) * 3, (0.5,) * 3, (nx,) * 3)
+
+        c = self._apply(state, self.model.encode_inputs, inputs, train=False)
+
+        gating = "none"
+        gate_pts = gate_feat = gate_valid = None
+        if self.with_img:
+            c_img = self._apply(
+                state, self.model.encode_img_inputs, imgs, train=False
+            )  # (1, 5, C)
+            if self.encode_t2d:
+                # back-projected contact points per finger
+                H, W = imgs.shape[2], imgs.shape[3]
+                hw = H * W
+                pred_depth, _ = self._apply(
+                    state, self.model.encode_t2d, inputs, imgs, train=False
+                )
+                if self.legacy_gt_depth:
+                    dmaps = depths[0]
+                else:
+                    dmaps = pred_depth[0] * 0.005 + 0.019
+                d_origin = (
+                    jnp.asarray(self.depth_origin)
+                    if self.depth_origin is not None and len(self.depth_origin) == hw
+                    else jnp.full((hw,), DEPTH_REST)
+                )
+                import math
+
+                f = H / (2 * math.tan(math.radians(CAM_FOV / 2)))
+                rng = jax.random.PRNGKey(0)
+                pts_f, val_f = [], []
+                rot_off = jnp.array([-jnp.pi / 2, 0.0, jnp.pi / 2])
+                for f_idx in range(5):
+                    diff = jnp.abs(dmaps[f_idx] - d_origin) > 0.0001
+                    mask = diff & touch[0, f_idx]
+                    idx, valid = C.random_topk_select(
+                        mask, self.contact_per_finger, jax.random.fold_in(rng, f_idx)
+                    )
+                    cloud = C.backproject_depth(
+                        dmaps[f_idx].reshape(H, W), f, W, H
+                    )
+                    world = pc_cam_to_world(
+                        cloud[idx], cam_rot[0, f_idx] + rot_off, cam_pos[0, f_idx]
+                    )
+                    pts_f.append(norm_pc_1(world, pc_ply[0]))
+                    val_f.append(valid)
+                gating = "contact"
+                gate_pts = jnp.stack(pts_f)                     # (5, K, 3)
+                gate_valid = jnp.stack(val_f)                   # (5, K)
+                gate_feat = c_img[0]                            # (5, C)
+            else:
+                # fingertip proximity (generation.py:159-200)
+                c_hand = self._apply(
+                    state, self.model.encode_hand_inputs, inputs, train=False
+                )
+                tips = C.tips_in_object_frame(
+                    c_hand["mano_joints"], mano_gt[:, :3], wrist, pc_ply
+                )[0]
+                gating = "tips"
+                gate_pts = tips                                 # (5, 3)
+                gate_feat = c_img[0]                            # (5, C)
+                gate_valid = touch[0]
+
+        values = self.eval_points(
+            state, pointsf, c, gating, gate_pts, gate_feat, gate_valid
+        )
+        value_grid = values.reshape(nx, nx, nx)
+
+        verts, faces = marching_cubes(value_grid, gradient="ascent")
+        verts = verts - np.array([nx / 2, nx / 2, nx / 2], np.float32)
+        verts = verts * box_size / nx
+
+        vert_sample = verts.copy()
+        np.random.shuffle(vert_sample)
+        vert_sample = np.ascontiguousarray(vert_sample[:2048], np.float32)
+
+        cd = float(
+            np.asarray(
+                metrics.chamfer_distance(
+                    jnp.asarray(points_obj), jnp.asarray(vert_sample[None])
+                )
+            )[0]
+        )
+        emd = metrics.earth_mover_distance(points_obj[0], vert_sample)
+        return (verts, faces), emd, cd
+
+    # ------------------------------------------------------------------
+    def generate_hand_mesh(self, state, data):
+        """MANO prediction → world/object frame mesh (generation.py:74-113)."""
+        inputs = jnp.asarray(data["inputs"])
+        pc_ply = jnp.asarray(data["inputs.pc_ply"])[0]
+
+        c_hand = self._apply(
+            state, self.model.encode_hand_inputs, inputs, train=False
+        )
+        mano_param = np.asarray(c_hand["mano_param"])[0]
+        verts = np.asarray(c_hand["mano_verts"])[0]
+        joints = np.asarray(c_hand["mano_joints"])[0]
+        faces = np.asarray(c_hand["mano_faces"])
+
+        wrist_pos, wrist_rotvec = mano_param[:3], mano_param[3:6]
+        wrist_rot_euler = np.asarray(axisang_to_euler_xyz(jnp.asarray(wrist_rotvec)))
+
+        offset = np.array([0.11, 0.005, 0], np.float32)
+        R_canon_inv = np.linalg.inv(
+            np.asarray(R_from_PYR(jnp.array([-np.pi / 2, np.pi / 2, 0.0])))
+        )
+        R_wrist_inv = np.linalg.inv(
+            np.asarray(R_from_PYR(jnp.asarray(wrist_rot_euler)))
+        )
+
+        def uncanon(x):
+            x = x - offset
+            x = R_canon_inv @ x.T
+            x = R_wrist_inv @ x
+            return x.T + wrist_pos
+
+        verts = np.asarray(norm_pc_1(jnp.asarray(uncanon(verts)), pc_ply))
+        return verts, faces
+
+    # ------------------------------------------------------------------
+    def generate_tactile_pc(self, state, data):
+        """Predicted depth maps → world-frame clouds (generation.py:286-333).
+
+        Returns (B, 5, H*W, 3) numpy.
+        """
+        inputs = jnp.asarray(data["inputs"])
+        imgs = jnp.asarray(data["inputs.img"])
+        pc_ply = jnp.asarray(data["inputs.pc_ply"])
+        cam_pos = np.asarray(data["points.cam_pos"])
+        cam_rot = np.asarray(data["points.cam_rot"])
+        B, F5, H, W, _ = imgs.shape
+
+        pred_depth = np.asarray(
+            self._apply(state, self.model.encode_img_inputs, imgs, train=False)
+        )  # (B, 5, H*W)
+        if pred_depth.shape[-1] != H * W:
+            raise ValueError(
+                "generate_tactile_pc needs a depth-map image encoder (the "
+                "tactile U-Net); this model's encoder_img emits "
+                f"{pred_depth.shape[-1]}-d features, not {H}x{W} depth maps"
+            )
+        import math
+
+        f = H / (2 * math.tan(math.radians(CAM_FOV / 2)))
+        out = np.zeros((B, F5, H * W, 3), np.float32)
+        rot_off = np.array([-np.pi / 2, 0, np.pi / 2])
+        for b in range(B):
+            for t_idx in range(F5):
+                depth = pred_depth[b, t_idx].reshape(H, W) * 0.005 + 0.019
+                cloud = np.asarray(
+                    C.backproject_depth(jnp.asarray(depth), f, W, H)
+                )
+                world = np.asarray(
+                    pc_cam_to_world(
+                        jnp.asarray(cloud),
+                        jnp.asarray(cam_rot[b, t_idx] + rot_off),
+                        jnp.asarray(cam_pos[b, t_idx]),
+                    )
+                )
+                out[b, t_idx] = np.asarray(
+                    norm_pc_1(jnp.asarray(world), pc_ply[b])
+                )
+        return out
+
+
+class LoopGenerator:
+    """Periodic visualization hook for the training loop (mirrors
+    train.py:239-256 / train_depth.py:251-266)."""
+
+    def __init__(self, generator, train_tactile=False):
+        self.generator = generator
+        self.train_tactile = train_tactile
+
+    def visualize(self, state, val_loader, out_dir, it):
+        from vtaco_tpu.utils import meshio
+
+        vis_dir = os.path.join(out_dir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        emd_total, cd_total = [], []
+        for i, batch in enumerate(val_loader):
+            name = batch["points.name"][0]
+            if self.train_tactile:
+                pcs = self.generator.generate_tactile_pc(state, batch)
+                meshio.write_ply(
+                    os.path.join(vis_dir, f"{it}_{name}_tactile.ply"),
+                    pcs[0].reshape(-1, 3),
+                )
+            else:
+                hand_verts, hand_faces = self.generator.generate_hand_mesh(
+                    state, batch
+                )
+                (verts, faces), emd, cd = self.generator.generate_obj_mesh_wnf(
+                    state, batch
+                )
+                emd_total.append(emd)
+                cd_total.append(cd)
+                meshio.write_off(
+                    os.path.join(vis_dir, f"{it}_{name}_hand.off"),
+                    hand_verts, hand_faces,
+                )
+                meshio.write_off(
+                    os.path.join(vis_dir, f"{it}_{name}_obj.off"), verts, faces
+                )
+        if emd_total:
+            print("Metrics EMD: {}".format(np.mean(emd_total)))
+            print("Metrics CD: {}".format(np.mean(cd_total)))
+
+
+def make_loop_generator(model, cfg, bank=None):
+    gen = Generator3D.from_config(model, cfg)
+    return LoopGenerator(gen, train_tactile=cfg["model"]["train_tactile"])

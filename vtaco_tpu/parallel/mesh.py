@@ -1,0 +1,64 @@
+"""Device mesh + sharding helpers.
+
+The reference is strictly single-GPU (SURVEY.md §2.8): no DP/TP/PP/SP and
+no communication backend. Here parallelism is first-class and rides XLA
+collectives over ICI:
+
+  * ``data`` axis — batch (DP) sharding of the train step; XLA inserts the
+    gradient psum.
+  * ``data`` axis again for the occupancy-decode *query-point* axis at
+    generation time — the natural "sequence parallelism" of an occupancy
+    network (each chip decodes a slab of the dense grid; the host gathers
+    logits for marching cubes).
+  * a ``model`` axis is reserved for tensor parallelism; at this model
+    scale (~16M params) it stays size 1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh. data=-1 → all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    dev = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(dev, axis_names=("data", "model"))
+
+
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    mcfg = (cfg.get("training") or {}).get("mesh")
+    if not mcfg:
+        return None
+    data = mcfg.get("data", -1)
+    model = mcfg.get("model", 1)
+    if data in (1, None) and model in (1, None):
+        return None
+    return make_mesh(data=data, model=model)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch / query-point) sharding over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    return jax.device_put(tree, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))

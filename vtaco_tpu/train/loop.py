@@ -1,0 +1,208 @@
+"""Training loop with the reference's cadences.
+
+Counterpart of train.py:19-263 / train_depth.py: infinite epoch loop,
+modulo-iteration triggers for print / validate / checkpoint / backup /
+visualize, model_best selection by the configured metric, and the
+``--exit-after N`` preemption contract (save + exit code 3,
+train.py:258-263). Metrics stream to stdout and a jsonl file (the
+reference used tensorboardX; jsonl needs no dependency and is
+grep/plot-friendly).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vtaco_tpu.core.checkpoint import CheckpointIO
+from vtaco_tpu.core.config import get_model, load_config
+from vtaco_tpu.data import BatchLoader
+from vtaco_tpu.data.core import get_dataset
+from vtaco_tpu.ops.winding import MeshBank
+from vtaco_tpu.train.trainer import Trainer
+from vtaco_tpu.utils import meshio
+
+
+class JsonlLogger:
+    def __init__(self, path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self.f = open(path, "a")
+
+    def add_scalar(self, tag, value, step):
+        self.f.write(json.dumps({"tag": tag, "value": float(value), "it": int(step)}) + "\n")
+        self.f.flush()
+
+
+def build_mesh_bank(cfg, dataset=None) -> Optional[MeshBank]:
+    """Load every GT object mesh in the configured mesh directory.
+
+    The reference builds its vf_dict from train-split model names only
+    (train.py:162-174) and relies on val objects overlapping; loading the
+    whole directory covers every split.
+    """
+    mesh_dir = cfg["data"].get("mesh_dir")
+    if not mesh_dir or not os.path.isdir(mesh_dir):
+        return None
+    meshes = {}
+    for path in sorted(glob.glob(os.path.join(mesh_dir, "*"))):
+        base, ext = os.path.splitext(os.path.basename(path))
+        if ext.lower() in (".off", ".obj") and base not in meshes:
+            meshes[base] = meshio.read_triangle_mesh(path)
+    return MeshBank(meshes) if meshes else None
+
+
+def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
+          device_mesh=None, generator_factory=None):
+    """Run training per cfg. Returns (state, it) on normal stop."""
+    out_dir = cfg["training"]["out_dir"]
+    batch_size = cfg["training"]["batch_size"]
+    backup_every = cfg["training"]["backup_every"]
+    print_every = cfg["training"]["print_every"]
+    checkpoint_every = cfg["training"]["checkpoint_every"]
+    validate_every = cfg["training"]["validate_every"]
+    visualize_every = cfg["training"]["visualize_every"]
+
+    metric = cfg["training"]["model_selection_metric"]
+    mode = cfg["training"]["model_selection_mode"]
+    if mode == "maximize":
+        sign = 1
+    elif mode == "minimize":
+        sign = -1
+    else:
+        raise ValueError("model_selection_mode must be maximize or minimize")
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    train_dataset = get_dataset("train", cfg)
+    val_dataset = get_dataset("val", cfg, return_idx=True)
+    train_loader = BatchLoader(
+        train_dataset, batch_size,
+        num_workers=cfg["training"]["n_workers"], shuffle=True,
+    )
+    val_loader_fn = lambda: BatchLoader(
+        val_dataset, 1, shuffle=False,
+        num_workers=cfg["training"]["n_workers_val"],
+    )
+
+    model, aux = get_model(cfg)
+    bank = build_mesh_bank(cfg, train_dataset)
+    trainer = Trainer.from_config(
+        model, cfg, mesh_bank=bank, device_mesh=device_mesh
+    )
+
+    first_batch = next(iter(train_loader))
+    state = trainer.init_state(first_batch)
+
+    ckpt = CheckpointIO(out_dir, state=state)
+    epoch_it, it = 0, 0
+    metric_val_best = -sign * np.inf
+    try:
+        restored, scalars = ckpt.load(cfg["test"]["model_file"], state=state)
+        if "state" in restored:
+            state = restored["state"]
+        epoch_it = int(scalars.get("epoch_it", 0))
+        it = int(scalars.get("it", 0))
+        metric_val_best = float(scalars.get("loss_val_best", metric_val_best))
+        print(f"=> resumed at it={it} (best {metric}={metric_val_best:.6f})")
+    except FileNotFoundError:
+        pass
+    if not np.isfinite(metric_val_best):
+        metric_val_best = -sign * np.inf
+
+    # pretrained t2d grafting (conv_onet/config.py:131-133)
+    if aux.get("t2d_pretrained_file"):
+        t2d_file = aux["t2d_pretrained_file"]
+        try:
+            t2d_ckpt = CheckpointIO(out_dir)
+            restored, _ = t2d_ckpt.load(t2d_file, state=state)
+            t2d_params = restored["state"].params.get("encoder_hand"), restored[
+                "state"
+            ].params.get("encoder_img")
+            import flax
+
+            params = flax.core.unfreeze(state.params)
+            if t2d_params[0] is not None:
+                params["encoder_t2d"]["encoder_hand"] = t2d_params[0]
+            if t2d_params[1] is not None:
+                params["encoder_t2d"]["encoder_img"] = t2d_params[1]
+            state = state.replace(params=flax.core.freeze(params))
+            print(f"=> loaded pretrained t2d weights from {t2d_file}")
+        except FileNotFoundError:
+            print(f"Warning: pretrained t2d checkpoint {t2d_file} not found")
+
+    nparams = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
+    print("Total number of parameters: %d" % nparams)
+    print("output path: ", out_dir)
+
+    logger = JsonlLogger(os.path.join(out_dir, "logs", "metrics.jsonl"))
+    generator = generator_factory(model, cfg, bank) if generator_factory else None
+
+    t0 = time.time()
+    stop = False
+    while not stop:
+        epoch_it += 1
+        for batch in train_loader:
+            it += 1
+            state, scalars = trainer.train_step(state, batch)
+            for k, v in scalars.items():
+                logger.add_scalar(f"train/{k}", v, it)
+
+            if print_every > 0 and it % print_every == 0:
+                msg = ", ".join(f"{k}={v:.4f}" for k, v in scalars.items())
+                print(
+                    "[Epoch %02d] it=%03d, %s, time: %.2fs"
+                    % (epoch_it, it, msg, time.time() - t0)
+                )
+
+            if validate_every > 0 and it % validate_every == 0:
+                eval_dict = trainer.evaluate(state, val_loader_fn())
+                metric_val = eval_dict[metric]
+                print("Validation metric (%s): %.4f" % (metric, metric_val))
+                for k, v in eval_dict.items():
+                    logger.add_scalar(f"val/{k}", v, it)
+                if sign * (metric_val - metric_val_best) > 0:
+                    metric_val_best = metric_val
+                    print("New best model (%s %.4f)" % (metric, metric_val_best))
+                    ckpt.register_modules(state=state)
+                    ckpt.save("model_best.ckpt", epoch_it=epoch_it, it=it,
+                              loss_val_best=metric_val_best)
+
+            if checkpoint_every > 0 and it % checkpoint_every == 0:
+                print("Saving checkpoint at iteration: %d" % it)
+                ckpt.register_modules(state=state)
+                ckpt.save("model.ckpt", epoch_it=epoch_it, it=it,
+                          loss_val_best=metric_val_best)
+
+            if backup_every > 0 and it % backup_every == 0:
+                print("Backup checkpoint at iteration: %d" % it)
+                ckpt.register_modules(state=state)
+                ckpt.save("model_%d.ckpt" % it, epoch_it=epoch_it, it=it,
+                          loss_val_best=metric_val_best)
+
+            if generator is not None and visualize_every > 0 and it % visualize_every == 0:
+                try:
+                    generator.visualize(state, val_loader_fn(), out_dir, it)
+                except Exception as e:  # visualization must not kill training
+                    print("visualize failed:", e)
+
+            if exit_after > 0 and (time.time() - t0) >= exit_after:
+                print("Time limit reached. Exiting.")
+                ckpt.register_modules(state=state)
+                ckpt.save("model.ckpt", epoch_it=epoch_it, it=it,
+                          loss_val_best=metric_val_best)
+                raise SystemExit(3)
+
+            if max_iters is not None and it >= max_iters:
+                stop = True
+                break
+    ckpt.register_modules(state=state)
+    ckpt.save("model.ckpt", epoch_it=epoch_it, it=it,
+              loss_val_best=metric_val_best)
+    return state, it

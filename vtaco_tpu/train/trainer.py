@@ -1,0 +1,494 @@
+"""Trainer: jitted train/eval steps for every loss path.
+
+Counterpart of src/conv_onet/training.py:21-1001. Each of the reference's
+loss paths becomes a pure function jit-compiled once:
+
+  path                         reference            flags
+  ----------------------------------------------------------------------
+  loss_plain                   compute_loss:454     no tactile
+  loss_contact                 compute_loss_contact:896  with_contact
+  loss_img                     compute_loss_img:502 with_img, no t2d
+  loss_t2d                     compute_loss_t2d:628 encoder_t2d, no img
+  loss_t2d_img                 compute_loss_t2d_img:757  encoder_t2d+img
+  loss_tactile                 compute_loss_tactile:950  train_tactile
+
+TPU-first changes relative to the reference:
+  * no host round-trips inside the step: depth back-projection, contact
+    sampling, and winding-number occupancy labels all run on device with
+    fixed shapes (see vtaco_tpu.train.contact / vtaco_tpu.ops.winding);
+  * ground-truth meshes enter as padded (B, V, 3)/(B, F, 3) arrays gathered
+    from a MeshBank by sample id;
+  * the whole step (loss + grads + optimizer update + BatchNorm stats) is
+    one XLA program;
+  * optional jax.sharding.Mesh: the batch is sharded over the 'data' axis,
+    parameters are replicated, and XLA inserts the gradient psum.
+
+Known divergence (documented): compute_loss_t2d in the reference min-max
+normalizes depth maps *before* back-projecting them (training.py:644,693),
+which makes its contact-pixel test compare [0,1] values against metric
+rest-gel depths — contact everywhere. This implementation back-projects raw
+depths in that path (as the shipped t2d_img path does).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from vtaco_tpu.ops import metrics
+from vtaco_tpu.ops.winding import MeshBank, winding_number_batch
+from vtaco_tpu.train import contact as C
+
+DEPTH_NEAR = 0.019
+DEPTH_FAR = 0.022
+DEPTH_REST = 0.0215
+CAM_FOV = 60.0
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def _minmax_norm(x):
+    return (x - jnp.min(x)) / (jnp.max(x) - jnp.min(x))
+
+
+class Trainer:
+    """Builds and runs the jitted steps. Host-side: batch conversion, mesh
+    lookup, metric averaging (BaseTrainer.evaluate parity,
+    src/training.py:6-39)."""
+
+    def __init__(
+        self,
+        model,
+        optimizer=None,
+        *,
+        lr=1e-4,
+        opt="Adam",
+        num_sample=2048,
+        threshold=0.5,
+        with_img=False,
+        with_contact=False,
+        train_tactile=False,
+        encode_t2d=False,
+        pretrained_t2d=True,
+        eval_sample=False,
+        input_type="pointcloud",
+        vis_dir=None,
+        mesh_bank: Optional[MeshBank] = None,
+        depth_origin: Optional[np.ndarray] = None,
+        legacy_gt_depth=True,
+        contact_per_finger=128,
+        tips_per_finger=512,
+        device_mesh=None,
+        seed=0,
+    ):
+        self.model = model
+        if optimizer is None:
+            optimizer = (
+                optax.adam(lr) if opt == "Adam" else optax.sgd(lr, momentum=0.9)
+            )
+        self.optimizer = optimizer
+        self.num_sample = num_sample
+        self.threshold = threshold
+        self.with_img = with_img
+        self.with_contact = with_contact
+        self.train_tactile = train_tactile
+        self.encode_t2d = encode_t2d
+        self.pretrained_t2d = pretrained_t2d
+        self.eval_sample = eval_sample
+        self.input_type = input_type
+        self.vis_dir = vis_dir
+        self.mesh_bank = mesh_bank
+        self.depth_origin = depth_origin
+        self.legacy_gt_depth = legacy_gt_depth
+        self.contact_per_finger = contact_per_finger
+        self.tips_per_finger = tips_per_finger
+        self.device_mesh = device_mesh
+        self.seed = seed
+        if vis_dir is not None and not os.path.exists(vis_dir):
+            os.makedirs(vis_dir)
+
+        self._train_step_fn = jax.jit(self._train_step)
+        self._eval_step_fn = jax.jit(self._eval_step)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_config(cls, model, cfg, mesh_bank=None, device_mesh=None, **kw):
+        """Mirror of conv_onet.config.get_trainer (src/conv_onet/config.py:146-181)."""
+        mcfg = cfg["model"]
+        try:
+            pretrained_t2d = mcfg["encoder_t2d_kwargs"]["pretrained"]
+        except (KeyError, TypeError):
+            pretrained_t2d = False
+        depth_origin = None
+        dpath = cfg["data"].get("depth_origin")
+        if dpath and os.path.exists(dpath):
+            depth_origin = np.loadtxt(dpath).astype(np.float32)
+        out_dir = cfg["training"]["out_dir"]
+        return cls(
+            model,
+            lr=cfg["training"]["lr"],
+            opt=cfg["training"].get("opt", "Adam"),
+            num_sample=cfg["data"]["num_sample"],
+            threshold=cfg["test"]["threshold"],
+            with_img=mcfg["with_img"],
+            with_contact=mcfg["with_contact"],
+            train_tactile=mcfg["train_tactile"],
+            encode_t2d=bool(mcfg["encoder_t2d"]),
+            pretrained_t2d=pretrained_t2d,
+            eval_sample=cfg["training"]["eval_sample"],
+            input_type=cfg["data"]["input_type"],
+            vis_dir=os.path.join(out_dir, "vis"),
+            mesh_bank=mesh_bank,
+            depth_origin=depth_origin,
+            device_mesh=device_mesh,
+            **kw,
+        )
+
+    # ------------------------------------------------------------------
+    # initialization
+    def init_state(self, batch, rng=None):
+        """Initialize parameters by tracing every method this config uses
+        (flax creates params on first use)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
+        arrays = self.prepare_batch(batch)
+        model = self.model
+
+        def init_fn(model):
+            inputs = arrays["inputs"]
+            B = inputs.shape[0]
+            if model.encoder is not None:
+                c = model.encode_inputs(inputs, train=False)
+            else:
+                c = None
+            if model.encoder_hand is not None:
+                model.encode_hand_inputs(inputs, train=False)
+            if model.encoder_img is not None:
+                ci = model.encode_img_inputs(arrays["imgs"], train=False)
+            if model.encoder_t2d is not None:
+                model.encode_t2d(inputs, arrays["imgs"], train=False)
+            if model.decoder is not None:
+                p = arrays["points"][:, : self.num_sample]
+                model.decode(p, c)
+                cdim = model.decoder.c_dim
+                model.decode_img(p, c, jnp.zeros(p.shape[:2] + (cdim,)))
+                if self.with_contact:
+                    model.decode_contact(p, c)
+
+        variables = jax.jit(lambda: model.init(rng, method=init_fn))()
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        opt_state = self.optimizer.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.PRNGKey(self.seed + 1),
+        )
+
+    # ------------------------------------------------------------------
+    # batch conversion (host)
+    def prepare_batch(self, batch):
+        """Loader batch dict → fixed-key device arrays (+ padded meshes)."""
+        a = {}
+        a["points"] = jnp.asarray(batch["points"])
+        a["occ"] = jnp.asarray(batch["points.occ"])
+        if "points.mano" in batch:
+            a["mano"] = jnp.asarray(batch["points.mano"])
+            a["pc_hand"] = jnp.asarray(batch["points.pc_hand"])
+            a["wrist"] = jnp.asarray(batch["points.wrist"])
+            a["cam_pos"] = jnp.asarray(batch["points.cam_pos"])
+            a["cam_rot"] = jnp.asarray(batch["points.cam_rot"])
+        if "points.contact" in batch:
+            a["contact"] = jnp.asarray(batch["points.contact"])
+        a["inputs"] = jnp.asarray(batch["inputs"])
+        if "inputs.pc_ply" in batch:
+            a["pc_ply"] = jnp.asarray(batch["inputs.pc_ply"])
+        if "inputs.img" in batch:
+            a["imgs"] = jnp.asarray(batch["inputs.img"])
+            a["depths"] = jnp.asarray(batch["inputs.depth"])
+            a["touch_success"] = jnp.asarray(
+                np.asarray(batch["inputs.touch_success"]) > 0.5
+            )
+        if "points_iou" in batch:
+            a["points_iou"] = jnp.asarray(batch["points_iou"])
+            a["occ_iou"] = jnp.asarray(batch["points_iou.occ"])
+        if self.mesh_bank is not None and "points.name" in batch:
+            ids = self.mesh_bank.ids_for(batch["points.name"])
+            mv, mf = self.mesh_bank.gather(jnp.asarray(ids))
+            a["mesh_verts"], a["mesh_faces"] = mv, mf
+        if self.device_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.device_mesh, P("data"))
+            a = {
+                k: jax.device_put(v, sharding)
+                for k, v in a.items()
+            }
+        return a
+
+    def _depth_origin_for(self, hw):
+        if self.depth_origin is not None and self.depth_origin.shape[0] == hw:
+            return jnp.asarray(self.depth_origin)
+        return jnp.full((hw,), DEPTH_REST, jnp.float32)
+
+    def _cam_f(self, height):
+        import math
+
+        return height / (2 * math.tan(math.radians(CAM_FOV / 2)))
+
+    # ------------------------------------------------------------------
+    # forward helpers (run under jit)
+    def _apply(self, variables, method, *args, train=True, **kw):
+        out = self.model.apply(
+            variables, *args, method=method, train=train,
+            mutable=["batch_stats"] if train else False, **kw,
+        )
+        if train:
+            return out  # (result, mutated_vars)
+        return out, {"batch_stats": variables.get("batch_stats", FrozenDict())}
+
+    def _loss_common(self, c_hand, a):
+        loss_mano = jnp.mean((c_hand["mano_param"] - a["mano"]) ** 2)
+        loss_pc = jnp.mean((c_hand["mano_verts"] - a["pc_hand"]) ** 2)
+        return loss_mano, loss_pc
+
+    def _compute_loss(self, params, batch_stats, rng, a, train=True):
+        """Dispatch to the configured loss path; returns
+        (loss, (scalars, new_batch_stats))."""
+        variables = {"params": params, "batch_stats": batch_stats}
+        model = self.model
+        bs = batch_stats
+
+        def apply(method, *args, **kw):
+            nonlocal bs
+            out, mut = self._apply(
+                {"params": params, "batch_stats": bs}, method, *args,
+                train=train, **kw,
+            )
+            bs = mut.get("batch_stats", bs)
+            return out
+
+        scalars = {}
+
+        if self.train_tactile:
+            # compute_loss_tactile (training.py:950-986)
+            depths = _minmax_norm(a["depths"])
+            pred_depth = apply(model.encode_img_inputs, a["imgs"])
+            loss_depth = jnp.mean(jnp.abs(pred_depth - depths))
+            loss = loss_depth
+            scalars["loss_depth"] = loss_depth
+            if model.encoder_hand is not None:
+                c_hand = apply(model.encode_hand_inputs, a["inputs"])
+                cam_info = jnp.concatenate(
+                    [a["cam_pos"].reshape(a["cam_pos"].shape[0], -1),
+                     a["cam_rot"].reshape(a["cam_rot"].shape[0], -1)], axis=1
+                )
+                loss_digit = jnp.mean((c_hand["mano_param"] - cam_info) ** 2)
+                loss = loss + loss_digit
+                scalars["loss_digit"] = loss_digit
+            scalars["loss"] = loss
+            return loss, (scalars, bs)
+
+        if self.encode_t2d:
+            # --- t2d paths (training.py:628-894) ---
+            B = a["points"].shape[0]
+            H, W = a["imgs"].shape[2], a["imgs"].shape[3]
+            hw = H * W
+            pred_depth, c_hand_d = apply(model.encode_t2d, a["inputs"], a["imgs"])
+            digit_param = c_hand_d["mano_param"]
+            if self.legacy_gt_depth:
+                depth_for_contact = a["depths"]
+            else:
+                depth_for_contact = pred_depth * (DEPTH_FAR - DEPTH_NEAR) + DEPTH_NEAR
+            rng, k = jax.random.split(rng)
+            sample = C.t2d_contact_sample(
+                depth_for_contact, a["touch_success"], a["cam_pos"], a["cam_rot"],
+                a["pc_ply"], a["points"], self._depth_origin_for(hw),
+                self._cam_f(H), H, W, self.num_sample, self.contact_per_finger, k,
+            )
+            occ_new = winding_number_batch(
+                a["mesh_verts"], a["mesh_faces"], sample.points
+            )
+            c = apply(model.encode_inputs, a["inputs"])
+            c_hand = apply(model.encode_hand_inputs, a["inputs"])
+            if self.with_img:
+                c_img = apply(model.encode_img_inputs, a["imgs"])
+                c_img_all = C.scatter_finger_features(c_img, sample, init="ones")
+                logits = apply(model.decode_img, sample.points, c, c_img_all)
+            else:
+                logits = apply(model.decode, sample.points, c)
+            loss_l1 = jnp.mean(jnp.abs(logits - occ_new))
+            loss_mano, loss_pc = self._loss_common(c_hand, a)
+            loss = loss_l1 + loss_mano + loss_pc
+            scalars.update(loss_l1=loss_l1, loss_mano=loss_mano, loss_pc=loss_pc)
+            if not self.pretrained_t2d:
+                depths_n = _minmax_norm(a["depths"])
+                loss_depth = jnp.mean(jnp.abs(pred_depth - depths_n))
+                cam_info = jnp.concatenate(
+                    [a["cam_pos"].reshape(B, -1), a["cam_rot"].reshape(B, -1)], 1
+                )
+                loss_digit = jnp.mean((digit_param - cam_info) ** 2)
+                loss = loss + loss_depth + loss_digit
+                scalars.update(loss_depth=loss_depth, loss_digit=loss_digit)
+            scalars["loss"] = loss
+            return loss, (scalars, bs)
+
+        if self.with_img:
+            # compute_loss_img (training.py:502-626)
+            c = apply(model.encode_inputs, a["inputs"])
+            c_hand = apply(model.encode_hand_inputs, a["inputs"])
+            c_img = apply(model.encode_img_inputs, a["imgs"])
+            tips = C.tips_in_object_frame(
+                c_hand["mano_joints"], a["mano"][:, :3], a["wrist"], a["pc_ply"]
+            )
+            rng, k = jax.random.split(rng)
+            sample, occ_sel = C.fingertip_gated_sample(
+                a["points"], a["occ"], tips, a["touch_success"],
+                self.num_sample, self.tips_per_finger, k,
+            )
+            c_img_all = C.scatter_finger_features(c_img, sample, init="zeros")
+            logits = apply(model.decode_img, sample.points, c, c_img_all)
+            loss_l1 = jnp.mean(jnp.abs(logits - occ_sel))
+            loss_mano, loss_pc = self._loss_common(c_hand, a)
+            loss = loss_l1 + loss_mano + loss_pc
+            scalars.update(
+                loss=loss, loss_l1=loss_l1, loss_mano=loss_mano, loss_pc=loss_pc
+            )
+            return loss, (scalars, bs)
+
+        # compute_loss / compute_loss_contact (training.py:454-500, 896-948)
+        c = apply(model.encode_inputs, a["inputs"])
+        c_hand = apply(model.encode_hand_inputs, a["inputs"])
+        if self.with_contact:
+            logits, pred_contact = apply(model.decode_contact, a["points"], c)
+            loss_contact = optax.sigmoid_binary_cross_entropy(
+                pred_contact, a["contact"]
+            ).mean()
+            scalars["loss_contact"] = loss_contact
+        else:
+            logits = apply(model.decode, a["points"], c)
+            loss_contact = 0.0
+        loss_l1 = jnp.mean(jnp.abs(logits - a["occ"]))
+        loss_mano, loss_pc = self._loss_common(c_hand, a)
+        loss = loss_l1 + loss_mano + loss_pc + loss_contact
+        scalars.update(
+            loss=loss, loss_l1=loss_l1, loss_mano=loss_mano, loss_pc=loss_pc
+        )
+        return loss, (scalars, bs)
+
+    # ------------------------------------------------------------------
+    def _train_step(self, state: TrainState, a):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            return self._compute_loss(params, state.batch_stats, step_rng, a)
+
+        (loss, (scalars, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, scalars
+
+    def train_step(self, state: TrainState, batch):
+        """Host API: one optimization step. Returns (state, {scalar: float})."""
+        a = self.prepare_batch(batch)
+        state, scalars = self._train_step_fn(state, a)
+        return state, {k: float(v) for k, v in scalars.items()}
+
+    # ------------------------------------------------------------------
+    def _eval_step(self, state: TrainState, a):
+        """Mirrors eval_step (training.py:105-452) for the configured path."""
+        rng = jax.random.fold_in(state.rng, 12345)
+        loss, (scalars, _) = self._compute_loss(
+            state.params, state.batch_stats, rng, a, train=False
+        )
+        out = dict(scalars)
+
+        if not self.train_tactile:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            model = self.model
+            if self.encode_t2d:
+                # IoU on the winding-labeled contact sample (training.py:421)
+                H, W = a["imgs"].shape[2], a["imgs"].shape[3]
+                sample = C.t2d_contact_sample(
+                    a["depths"], a["touch_success"], a["cam_pos"], a["cam_rot"],
+                    a["pc_ply"], a["points"], self._depth_origin_for(H * W),
+                    self._cam_f(H), H, W, self.num_sample,
+                    self.contact_per_finger, rng,
+                )
+                occ_lbl = winding_number_batch(
+                    a["mesh_verts"], a["mesh_faces"], sample.points
+                )
+                c = model.apply(variables, a["inputs"], train=False,
+                                method=model.encode_inputs)
+                if self.with_img:
+                    c_img = model.apply(variables, a["imgs"], train=False,
+                                        method=model.encode_img_inputs)
+                    c_img_all = C.scatter_finger_features(c_img, sample, "ones")
+                    logits = model.apply(variables, sample.points, c, c_img_all,
+                                         method=model.decode_img)
+                else:
+                    logits = model.apply(variables, sample.points, c,
+                                         method=model.decode)
+            else:
+                p = a["points_iou"]
+                occ_lbl = a["occ_iou"]
+                c = model.apply(variables, a["inputs"], train=False,
+                                method=model.encode_inputs)
+                if self.with_img:
+                    c_hand = model.apply(variables, a["inputs"], train=False,
+                                         method=model.encode_hand_inputs)
+                    c_img = model.apply(variables, a["imgs"], train=False,
+                                        method=model.encode_img_inputs)
+                    tips = C.tips_in_object_frame(
+                        c_hand["mano_joints"], a["mano"][:, :3], a["wrist"],
+                        a["pc_ply"],
+                    )
+                    c_img_all = C.assign_features_by_proximity(
+                        p, tips, a["touch_success"], c_img
+                    )
+                    logits = model.apply(variables, p, c, c_img_all,
+                                         method=model.decode_img)
+                else:
+                    logits = model.apply(variables, p, c, method=model.decode)
+            iou = metrics.compute_iou(occ_lbl, logits, self.threshold)
+            out["iou"] = iou[0]
+        return out
+
+    def eval_step(self, state: TrainState, batch):
+        a = self.prepare_batch(batch)
+        out = self._eval_step_fn(state, a)
+        return {k: float(v) for k, v in out.items()}
+
+    def evaluate(self, state: TrainState, val_loader):
+        """Mean of eval_step dicts over the loader (src/training.py:10-39)."""
+        eval_list = {}
+        for batch in val_loader:
+            for k, v in self.eval_step(state, batch).items():
+                eval_list.setdefault(k, []).append(v)
+        return {k: float(np.mean(v)) for k, v in eval_list.items()}
