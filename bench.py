@@ -135,25 +135,33 @@ def main():
     pointsf = box * make_3d_grid((-0.5,) * 3, (0.5,) * 3, (nx,) * 3)
     n_points = pointsf.shape[0]
 
-    # --- decode throughput ------------------------------------------------
+    # --- dense decode throughput (primary; single XLA dispatch) ----------
     t0 = time.time()
-    values = gen.eval_points(state, pointsf, c, "contact", gate_pts,
-                             gate_feat, gate_valid)
+    values = gen.eval_points_dense(state, nx, c, "contact", gate_pts,
+                                   gate_feat, gate_valid)
     t_decode_first = time.time() - t0
     times = []
     for _ in range(args.repeats):
         t0 = time.time()
-        values = gen.eval_points(state, pointsf, c, "contact", gate_pts,
-                                 gate_feat, gate_valid)
+        values = gen.eval_points_dense(state, nx, c, "contact", gate_pts,
+                                       gate_feat, gate_valid)
         times.append(time.time() - t0)
     t_decode = min(times)
     pts_per_sec = n_points / t_decode
 
+    # --- scattered (arbitrary-point) decode, chunked legacy path ---------
+    gen.eval_points(state, pointsf, c, "contact", gate_pts, gate_feat,
+                    gate_valid)  # warmup/compile
+    t0 = time.time()
+    gen.eval_points(state, pointsf, c, "contact", gate_pts, gate_feat,
+                    gate_valid)
+    t_scatter = time.time() - t0
+
     # --- end-to-end object latency (steady state) ------------------------
     t0 = time.time()
     c2 = encode(variables, pts)
-    values = gen.eval_points(state, pointsf, c2, "contact", gate_pts,
-                             gate_feat, gate_valid)
+    values = gen.eval_points_dense(state, nx, c2, "contact", gate_pts,
+                                   gate_feat, gate_valid)
     grid = values.reshape(nx, nx, nx)
     verts, faces = marching_cubes(grid, gradient="ascent")
     t_object = time.time() - t0
@@ -168,6 +176,7 @@ def main():
             "nx": nx,
             "n_points": n_points,
             "decode_s": round(t_decode, 4),
+            "decode_scattered_s": round(t_scatter, 4),
             "decode_first_s": round(t_decode_first, 2),
             "object_latency_s": round(t_object, 4),
             "encode_s": round(t_encode, 4),

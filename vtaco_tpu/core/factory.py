@@ -149,9 +149,13 @@ def get_data_fields(mode, cfg):
     from vtaco_tpu.data.transforms import SubsamplePoints
 
     points_transform = SubsamplePoints(cfg["data"]["points_subsample"])
+    input_type = cfg["data"]["input_type"]
     flds = {}
     if cfg["data"].get("points_file") is not None:
-        flds["points"] = F.PointsField(
+        field_cls = (
+            F.PatchPointsField if input_type == "pointcloud_crop" else F.PointsField
+        )
+        flds["points"] = field_cls(
             cfg["data"]["points_file"],
             points_transform,
             unpackbits=cfg["data"]["points_unpackbits"],

@@ -8,6 +8,8 @@ from vtaco_tpu.data.fields import (
     Field,
     IndexField,
     PartialPointCloudField,
+    PatchPointCloudField,
+    PatchPointsField,
     PointCloudField,
     PointsField,
     VoxelsField,

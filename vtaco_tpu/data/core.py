@@ -66,6 +66,74 @@ class Shapes3dDataset:
                     models_c = [m for m in f.read().split("\n") if m]
             self.models += [{"category": c, "model": m} for m in models_c]
 
+        # sliding-window (pointcloud_crop) precomputation
+        # (src/data/core.py:106-126)
+        if cfg is not None and cfg["data"].get("input_type") == "pointcloud_crop":
+            from vtaco_tpu.ops.geometry import decide_total_volume_range
+
+            self.split = split
+            query_vol_metric = cfg["data"]["padding"] + 1
+            unit_size = cfg["data"]["unit_size"]
+            recep_field = 2 ** (
+                cfg["model"]["encoder_kwargs"]["unet3d_kwargs"]["num_levels"] + 2
+            )
+            enc_kw = cfg["model"]["encoder_kwargs"]
+            if "unet" in enc_kw and enc_kw.get("unet"):
+                depth = enc_kw["unet_kwargs"]["depth"]
+            else:
+                depth = enc_kw["unet3d_kwargs"]["num_levels"]
+            self.depth = depth
+            if cfg["generation"].get("sliding_window"):
+                vols = decide_total_volume_range(
+                    100000, recep_field, unit_size, depth
+                )
+            else:
+                vols = decide_total_volume_range(
+                    query_vol_metric, recep_field, unit_size, depth
+                )
+            self.total_input_vol, self.total_query_vol, self.total_reso = vols
+
+    def get_vol_info(self, model_path):
+        """Per-sample crop volume info (src/data/core.py:185-232)."""
+        from vtaco_tpu.ops.geometry import update_reso
+
+        cfg = self.cfg
+        query_vol_size = cfg["data"]["query_vol_size"]
+        unit_size = cfg["data"]["unit_size"]
+        field_name = cfg["data"]["pointcloud_file"]
+        plane_type = cfg["model"]["encoder_kwargs"]["plane_type"]
+        recep_field = 2 ** (
+            cfg["model"]["encoder_kwargs"]["unet3d_kwargs"]["num_levels"] + 2
+        )
+        if cfg["data"].get("multi_files") is None:
+            file_path = os.path.join(model_path, field_name)
+        else:
+            num = np.random.randint(cfg["data"]["multi_files"])
+            file_path = os.path.join(
+                model_path, field_name, "%s_%02d.npz" % (field_name, num)
+            )
+        p = np.load(file_path)["points"]
+        if self.split == "train":
+            p_c = np.array(
+                [np.random.uniform(p[:, i].min(), p[:, i].max()) for i in range(3)],
+                np.float32,
+            )
+            reso = update_reso(query_vol_size + recep_field - 1, self.depth)
+            input_vol_metric = reso * unit_size
+            query_vol_metric = query_vol_size * unit_size
+            input_vol = [p_c - input_vol_metric / 2, p_c + input_vol_metric / 2]
+            query_vol = [p_c - query_vol_metric / 2, p_c + query_vol_metric / 2]
+        else:
+            reso = self.total_reso
+            input_vol = self.total_input_vol
+            query_vol = self.total_query_vol
+        return {
+            "plane_type": plane_type,
+            "reso": reso,
+            "input_vol": input_vol,
+            "query_vol": query_vol,
+        }
+
     def __len__(self):
         return len(self.models)
 
@@ -75,6 +143,12 @@ class Shapes3dDataset:
         c_idx = self.metadata[category]["idx"]
         model_path = os.path.join(self.dataset_folder, category, model)
         data = {}
+        if (
+            self.cfg is not None
+            and self.cfg["data"].get("input_type") == "pointcloud_crop"
+        ):
+            c_idx = self.get_vol_info(model_path)
+            data["pointcloud_crop"] = True
         for field_name, field in self.fields.items():
             try:
                 field_data = field.load(model_path, idx, c_idx)
@@ -224,6 +298,15 @@ def get_dataset(mode, cfg, return_idx=False):
             PointcloudNoise(cfg["data"]["pointcloud_noise"]),
         ])
         flds["inputs"] = F.PartialPointCloudField(
+            cfg["data"]["pointcloud_file"], transform,
+            multi_files=cfg["data"].get("multi_files"),
+        )
+    elif input_type == "pointcloud_crop":
+        transform = Compose([
+            SubsamplePointcloud(cfg["data"]["pointcloud_n"]),
+            PointcloudNoise(cfg["data"]["pointcloud_noise"]),
+        ])
+        flds["inputs"] = F.PatchPointCloudField(
             cfg["data"]["pointcloud_file"], transform,
             multi_files=cfg["data"].get("multi_files"),
         )

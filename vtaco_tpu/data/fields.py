@@ -173,6 +173,108 @@ class PartialPointCloudField(Field):
         return self.file_name in files
 
 
+class PatchPointsField(Field):
+    """Crop-masked query points for sliding-window training.
+
+    src/data/fields.py:33-97: keep points inside the crop's query volume,
+    attach per-plane coordinates normalized to the crop's input volume.
+    ``category`` is the precomputed vol-info dict from the dataset.
+    """
+
+    def __init__(self, file_name, transform=None, unpackbits=False, multi_files=None):
+        self.file_name = file_name
+        self.transform = transform
+        self.unpackbits = unpackbits
+        self.multi_files = multi_files
+
+    def load(self, model_path, idx, vol):
+        from vtaco_tpu.ops.geometry import normalize_coord
+
+        file_path = _resolve(model_path, self.file_name, self.multi_files)
+        d = np.load(file_path, allow_pickle=True)
+        points = d["points"]
+        if points.dtype == np.float16:
+            points = points.astype(np.float32)
+            points += 1e-4 * np.random.randn(*points.shape)
+        occ = d["occupancies"]
+        if self.unpackbits:
+            occ = np.unpackbits(occ)[: points.shape[0]]
+        occ = occ.astype(np.float32)
+
+        ind = np.ones(len(points), bool)
+        for i in range(3):
+            ind &= (points[:, i] >= vol["query_vol"][0][i]) & (
+                points[:, i] <= vol["query_vol"][1][i]
+            )
+        data = {None: points[ind].astype(np.float32), "occ": occ[ind]}
+        if self.transform is not None:
+            # crop points carry no contact labels
+            data.setdefault("contact", np.zeros_like(data["occ"]))
+            data = self.transform(data)
+        p_n = {}
+        for key in vol["plane_type"]:
+            p_n[key] = normalize_coord(
+                data[None].copy(), vol["input_vol"], plane=key
+            )
+        data["normalized"] = p_n
+        return data
+
+    def check_complete(self, files):
+        return self.file_name in files
+
+
+class PatchPointCloudField(Field):
+    """Crop-masked input cloud with precomputed scatter indices.
+
+    src/data/fields.py:221-293: points outside the input volume are zeroed
+    and their indices set to the overflow cell (reso^k), which the crop
+    encoder drops.
+    """
+
+    def __init__(self, file_name, transform=None, transform_add_noise=None,
+                 multi_files=None):
+        self.file_name = file_name
+        self.transform = transform
+        self.multi_files = multi_files
+
+    def load(self, model_path, idx, vol):
+        from vtaco_tpu.ops.geometry import coord2index
+
+        file_path = _resolve(model_path, self.file_name, self.multi_files)
+        d = np.load(file_path, allow_pickle=True)
+        points = d["points"].astype(np.float32)
+        normals = d["normals"].astype(np.float32)
+
+        data = {None: points, "normals": normals}
+        if self.transform is not None:
+            data = self.transform(data)
+            points = data[None]
+
+        mask = np.ones(len(points), bool)
+        for i in range(3):
+            mask &= (points[:, i] >= vol["input_vol"][0][i]) & (
+                points[:, i] <= vol["input_vol"][1][i]
+            )
+        mask = ~mask  # True = outside
+        data["mask"] = mask
+        points[mask] = 0.0
+
+        index = {}
+        for key in vol["plane_type"]:
+            index[key] = coord2index(
+                points.copy(), vol["input_vol"], reso=vol["reso"], plane=key
+            )
+            if key == "grid":
+                index[key][:, mask] = vol["reso"] ** 3
+            else:
+                index[key][:, mask] = vol["reso"] ** 2
+        data["ind"] = index
+        return data
+
+    def check_complete(self, files):
+        return self.file_name in files
+
+
 class VoxelsField(Field):
     """binvox voxel grids. src/data/fields.py:179-218."""
 

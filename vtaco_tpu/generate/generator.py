@@ -82,6 +82,9 @@ class Generator3D:
         self._decode_chunk = jax.jit(
             self._decode_chunk_impl, static_argnames=("gating",)
         )
+        self._decode_dense = jax.jit(
+            self._decode_dense_impl, static_argnames=("nx", "gating")
+        )
 
     @classmethod
     def from_config(cls, model, cfg, **kw):
@@ -134,30 +137,78 @@ class Generator3D:
         if gating == "none":
             logits = model.apply(variables, p, c, method=model.decode)
             return logits[0]
-        if gating == "tips":
-            d = jnp.linalg.norm(
-                pts[:, None, :] - gate_pts[None, :, :], axis=-1
-            )  # (N, 5)
-            near = (jnp.min(d, axis=1) < 0.05)
-            assign = jnp.argmin(d, axis=1)
-            valid = gate_valid[assign] & near
-            feat = gate_feat[assign]
-            c_img = jnp.where(valid[:, None], feat, 0.0)
-        else:  # contact
-            # gate_pts (5, K, 3); gate_valid (5, K) bool; gate_feat (5, C)
-            d = jnp.linalg.norm(
-                pts[:, None, None, :] - gate_pts[None, :, :, :], axis=-1
-            )  # (N, 5, K)
-            within = jnp.any((d < 0.015) & gate_valid[None], axis=-1)  # (N, 5)
-            any_f = jnp.any(within, axis=1)
-            # last touching finger wins (python-loop overwrite order)
-            last_f = 4 - jnp.argmax(within[:, ::-1], axis=1)
-            feat = gate_feat[last_f]
-            c_img = jnp.where(any_f[:, None], feat, 0.0)
+        c_img = self._gate_chunk(pts, gating, gate_pts, gate_feat, gate_valid)
         logits = model.apply(
             variables, p, c, c_img[None], method=model.decode_img
         )
         return logits[0]
+
+    def _gate_chunk(self, pts, gating, gate_pts, gate_feat, gate_valid):
+        """Per-point tactile feature for a chunk of points (shared by the
+        scattered and dense decode paths)."""
+        if gating == "tips":
+            d = jnp.linalg.norm(pts[:, None, :] - gate_pts[None, :, :], axis=-1)
+            near = jnp.min(d, axis=1) < 0.05
+            assign = jnp.argmin(d, axis=1)
+            valid = gate_valid[assign] & near
+            feat = gate_feat[assign]
+            return jnp.where(valid[:, None], feat, 0.0)
+        # contact gating: gate_pts (5, K, 3), gate_valid (5, K), gate_feat (5, C)
+        d = jnp.linalg.norm(
+            pts[:, None, None, :] - gate_pts[None, :, :, :], axis=-1
+        )
+        within = jnp.any((d < 0.015) & gate_valid[None], axis=-1)
+        any_f = jnp.any(within, axis=1)
+        last_f = 4 - jnp.argmax(within[:, ::-1], axis=1)
+        feat = gate_feat[last_f]
+        return jnp.where(any_f[:, None], feat, 0.0)
+
+    def _decode_dense_impl(self, variables, c, gate_pts, gate_feat,
+                           gate_valid, nx, gating):
+        """Whole-grid decode as ONE XLA program: separable gather-free
+        interpolation (ops.dense_decode) + slab-scanned conditioned MLP."""
+        from vtaco_tpu.ops.dense_decode import (
+            dense_feature_volume,
+            dense_query_grid,
+        )
+
+        box_size = 1 + self.padding
+        feats = dense_feature_volume(c, nx, box_size, self.padding)  # (N, C)
+        pts = jnp.asarray(dense_query_grid(nx, box_size))            # (N, 3)
+
+        slab = nx * nx * 4
+        n_slabs = (nx * nx * nx) // slab
+        feats = feats.reshape(n_slabs, slab, -1)
+        pts_s = pts.reshape(n_slabs, slab, 3)
+        model = self.model
+
+        def one_slab(args):
+            f, p = args
+            if gating == "none":
+                return model.apply(
+                    variables, p, f,
+                    method=lambda m, p, f: m.decoder.forward_feats(p, f),
+                )
+            c_img = self._gate_chunk(p, gating, gate_pts, gate_feat, gate_valid)
+            return model.apply(
+                variables, p, f, c_img,
+                method=lambda m, p, f, ci: m.decoder.forward_img_feats(p, f, ci),
+            )
+
+        logits = jax.lax.map(one_slab, (feats, pts_s))
+        return logits.reshape(-1)
+
+    def eval_points_dense(self, state, nx, c, gating="none", gate_pts=None,
+                          gate_feat=None, gate_valid=None):
+        """Dense nx³ decode (single dispatch). Returns host (nx³,) logits."""
+        if gate_pts is None:
+            gate_pts = jnp.zeros((1, 3))
+            gate_feat = jnp.zeros((1, 1))
+            gate_valid = jnp.zeros((1,), bool)
+        logits = self._decode_dense(
+            self._vars(state), c, gate_pts, gate_feat, gate_valid, nx, gating
+        )
+        return np.asarray(logits)
 
     def eval_points(self, state, pointsf, c, gating="none", gate_pts=None,
                     gate_feat=None, gate_valid=None):
@@ -273,8 +324,8 @@ class Generator3D:
                 gate_feat = c_img[0]                            # (5, C)
                 gate_valid = touch[0]
 
-        values = self.eval_points(
-            state, pointsf, c, gating, gate_pts, gate_feat, gate_valid
+        values = self.eval_points_dense(
+            state, nx, c, gating, gate_pts, gate_feat, gate_valid
         )
         value_grid = values.reshape(nx, nx, nx)
 

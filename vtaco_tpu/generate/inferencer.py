@@ -1,0 +1,134 @@
+"""Batch inference: reconstruct meshes for a list of staged samples.
+
+Counterpart of src/conv_onet/inferencing.py:22-325 (Inferencer): iterates
+pre-staged samples and emits (object mesh, hand mesh) pairs through the
+same dense-decode path as the generator, for every model family
+(fingertip-gated VTacOH and t2d-contact VTacO).
+
+Note: the reference's inference_img/inference_img_t2d reuse the first
+sample's feature volume and tactile features for every subsequent sample
+(inferencing.py:155-160, 274-279 — an apparent caching bug); here every
+sample is encoded. The data-parallel batched variant shards samples across
+the device mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from vtaco_tpu.generate.generator import Generator3D
+from vtaco_tpu.ops import metrics
+
+
+class Inferencer:
+    def __init__(self, model, generator: Generator3D, *, threshold=0.5,
+                 num_sample=2048, with_img=False, with_contact=False,
+                 train_tactile=False, encode_t2d=False, input_type="pointcloud",
+                 vis_dir=None, eval_sample=False):
+        self.model = model
+        self.generator = generator
+        self.threshold = threshold
+        self.num_sample = num_sample
+        self.with_img = with_img
+        self.with_contact = with_contact
+        self.train_tactile = train_tactile
+        self.encode_t2d = encode_t2d
+        self.input_type = input_type
+        self.vis_dir = vis_dir
+        self.resolution0 = generator.resolution0
+        self.padding = generator.padding
+        if vis_dir is not None and not os.path.exists(vis_dir):
+            os.makedirs(vis_dir)
+
+    @classmethod
+    def from_config(cls, model, generator, cfg, **kw):
+        """Mirror of conv_onet.config.get_inferencer
+        (src/conv_onet/config.py:183-213)."""
+        out_dir = cfg["training"]["out_dir"]
+        return cls(
+            model, generator,
+            threshold=cfg["test"]["threshold"],
+            num_sample=cfg["data"]["num_sample"],
+            with_img=cfg["model"]["with_img"],
+            with_contact=cfg["model"]["with_contact"],
+            train_tactile=cfg["model"]["train_tactile"],
+            encode_t2d=bool(cfg["model"]["encoder_t2d"]),
+            input_type=cfg["data"]["input_type"],
+            vis_dir=os.path.join(out_dir, "vis"),
+            **kw,
+        )
+
+    def inference_step(self, state, data_vis_list):
+        """Reconstruct every staged sample → (mesh_list_obj, mesh_list_hand).
+
+        Each entry of data_vis_list is {'data': <B=1 batch dict>,
+        'name': str} (the train loop's staging format, train.py:100).
+        Returns lists of ((verts, faces), name) plus a metrics dict.
+        """
+        mesh_list_obj, mesh_list_hand = [], []
+        emds, cds = [], []
+        for entry in data_vis_list:
+            data = entry["data"] if "data" in entry else entry
+            name = entry.get("name", data.get("points.name", ["sample"])[0])
+            (verts, faces), emd, cd = self.generator.generate_obj_mesh_wnf(
+                state, data
+            )
+            hand_verts, hand_faces = self.generator.generate_hand_mesh(state, data)
+            mesh_list_obj.append(((verts, faces), name))
+            mesh_list_hand.append(((hand_verts, hand_faces), name))
+            emds.append(emd)
+            cds.append(cd)
+        stats = {
+            "emd_mean": float(np.mean(emds)) if emds else float("nan"),
+            "cd_mean": float(np.mean(cds)) if cds else float("nan"),
+            "n": len(emds),
+        }
+        return mesh_list_obj, mesh_list_hand, stats
+
+    def run(self, state, loader, out_dir=None, max_samples: Optional[int] = None):
+        """Reconstruct a whole split, optionally writing meshes to disk."""
+        from vtaco_tpu.utils import meshio
+
+        out_dir = out_dir or self.vis_dir
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+        emds, cds, names = [], [], []
+        for i, batch in enumerate(loader):
+            if max_samples is not None and i >= max_samples:
+                break
+            name = batch["points.name"][0]
+            if self.train_tactile:
+                # tactile estimator: emit predicted sensor point clouds
+                pcs = self.generator.generate_tactile_pc(state, batch)
+                if out_dir:
+                    meshio.write_ply(
+                        os.path.join(out_dir, f"{name}_tactile.ply"),
+                        pcs[0].reshape(-1, 3),
+                    )
+                names.append(name)
+                continue
+            (verts, faces), emd, cd = self.generator.generate_obj_mesh_wnf(
+                state, batch
+            )
+            hand_verts, hand_faces = self.generator.generate_hand_mesh(state, batch)
+            if out_dir:
+                meshio.write_off(
+                    os.path.join(out_dir, f"{name}_obj.off"), verts, faces
+                )
+                meshio.write_off(
+                    os.path.join(out_dir, f"{name}_hand.off"),
+                    hand_verts, hand_faces,
+                )
+            emds.append(emd)
+            cds.append(cd)
+            names.append(name)
+        return {
+            "names": names,
+            "emd": emds,
+            "cd": cds,
+            "emd_mean": float(np.mean(emds)) if emds else None,
+            "cd_mean": float(np.mean(cds)) if cds else None,
+        }

@@ -91,6 +91,18 @@ class LocalDecoder(nn.Module):
         out, _ = self._trunk(net, c)
         return out
 
+    def forward_feats(self, p, c, **kwargs):
+        """Trunk on pre-interpolated features (dense-grid fast path)."""
+        net = self.fc_p(p)
+        out, _ = self._trunk(net, c if self.c_dim != 0 else None)
+        return out
+
+    def forward_img_feats(self, p, c, c_img, **kwargs):
+        """forward_img on pre-interpolated features (dense-grid fast path)."""
+        net = self.fc_p_img(jnp.concatenate([p, c_img], axis=-1))
+        out, _ = self._trunk(net, c if self.c_dim != 0 else None)
+        return out
+
     def forward_contact(self, p, c_plane, **kwargs):
         c = self.sample_features(p, c_plane) if self.c_dim != 0 else None
         net = self.fc_p(p)

@@ -196,6 +196,71 @@ def project_to_camera(points, transform):
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window (pointcloud_crop) helpers — host-side numpy, used by the
+# patch data fields. Reference: src/common.py:311-414.
+# ---------------------------------------------------------------------------
+
+
+def normalize_coord(p, vol_range, plane="xz"):
+    """Normalize coords to [0, 1] within a crop volume, then project.
+
+    Matches src/common.py:311-331 (in-place in the reference; pure here).
+    p: (N, 3); vol_range: [(3,), (3,)] lower/upper bounds.
+    """
+    p = np.asarray(p, np.float32).copy()
+    lo, hi = np.asarray(vol_range[0]), np.asarray(vol_range[1])
+    p = (p - lo) / (hi - lo)
+    if plane == "xz":
+        return p[:, [0, 2]]
+    if plane == "xy":
+        return p[:, [0, 1]]
+    if plane == "yz":
+        return p[:, [1, 2]]
+    return p
+
+
+def coord2index(p, vol_range, reso=None, plane="xz"):
+    """Flat cell index within a crop volume; out-of-range clamps to the
+    overflow cell reso^k. Matches src/common.py:350-375. Returns (1, N)."""
+    x = normalize_coord(p, vol_range, plane=plane)
+    x = np.floor(x * reso).astype(np.int64)
+    if x.shape[1] == 2:
+        index = x[:, 0] + reso * x[:, 1]
+        index[index > reso**2] = reso**2
+    else:
+        index = x[:, 0] + reso * (x[:, 1] + reso * x[:, 2])
+        index[index > reso**3] = reso**3
+    return index[None]
+
+
+def update_reso(reso, depth):
+    """Round a resolution up so a depth-level U-Net divides it.
+    Matches src/common.py:377-390."""
+    base = 2 ** (int(depth) - 1)
+    if not float(reso / base).is_integer():
+        for i in range(base):
+            if float((reso + i) / base).is_integer():
+                reso = reso + i
+                break
+    return reso
+
+
+def decide_total_volume_range(query_vol_metric, recep_field, unit_size,
+                              unet_depth):
+    """Crop input/query volume bounds for scene-scale inference.
+    Matches src/common.py:392-414."""
+    reso = query_vol_metric / unit_size + recep_field - 1
+    reso = update_reso(int(reso), unet_depth)
+    input_vol_metric = reso * unit_size
+    p_c = np.array([0.0, 0.0, 0.0], np.float32)
+    lb_i, ub_i = p_c - input_vol_metric / 2, p_c + input_vol_metric / 2
+    lb_q, ub_q = p_c - query_vol_metric / 2, p_c + query_vol_metric / 2
+    if reso > 10000:
+        reso = 1
+    return [lb_i, ub_i], [lb_q, ub_q], reso
+
+
+# ---------------------------------------------------------------------------
 # Rotation utilities (reference: src/encoder/manopth/{rodrigues_layer,rot6d,
 # quatutils,rotproj}.py) — batched, pure JAX.
 # ---------------------------------------------------------------------------
