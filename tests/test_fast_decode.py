@@ -1,0 +1,102 @@
+"""Fast channels-first decode + Pallas fused trunk parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vtaco_tpu.models.conv_onet import ConvOccupancyNetwork
+from vtaco_tpu.models.decoder import LocalDecoder
+from vtaco_tpu.ops import fast_trunk as FT
+
+
+def _setup(rng, C=8, R=6, n_blocks=3):
+    dec = LocalDecoder(c_dim=C, hidden_size=16, n_blocks=n_blocks)
+    model = ConvOccupancyNetwork(decoder=dec)
+    c_planes = {
+        "grid": jnp.asarray(rng.standard_normal((1, R, R, R, C)), jnp.float32),
+        "xz": jnp.asarray(rng.standard_normal((1, R, R, C)), jnp.float32),
+    }
+    p = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 4, 3)), jnp.float32)
+
+    def initp(m):
+        m.decode(p, c_planes)
+        m.decode_img(p, c_planes, jnp.zeros((1, 4, C)))
+
+    v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), method=initp))()
+
+    class S:
+        params = v["params"]
+        batch_stats = v.get("batch_stats", {})
+
+    return model, c_planes, S(), v
+
+
+def test_fast_dense_matches_module_paths(rng):
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    nx = 16
+
+    slow = gen.eval_points_dense(state, nx, c_planes, fast=False,
+                                 transfer_dtype=jnp.float32)
+    fast = gen.eval_points_dense(state, nx, c_planes, fast=True,
+                                 transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(fast, slow, atol=1e-5)
+
+    gate_pts = jnp.asarray(rng.uniform(-0.3, 0.3, (5, 8, 3)), jnp.float32)
+    gate_feat = jnp.asarray(rng.standard_normal((5, 8)), jnp.float32)
+    gate_valid = jnp.asarray(rng.random((5, 8)) > 0.3)
+    slow = gen.eval_points_dense(state, nx, c_planes, "contact", gate_pts,
+                                 gate_feat, gate_valid, fast=False,
+                                 transfer_dtype=jnp.float32)
+    fast = gen.eval_points_dense(state, nx, c_planes, "contact", gate_pts,
+                                 gate_feat, gate_valid, fast=True,
+                                 transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(fast, slow, atol=1e-5)
+
+
+def test_pallas_trunk_matches(rng):
+    from vtaco_tpu.ops.pallas.decode import fused_trunk_cn, pack_trunk_params
+
+    _, _, state, v = _setup(rng)
+    N, C = 512, 8
+    tp = FT.extract_trunk_params(v["params"]["decoder"], 3, with_img=True)
+    p_cn = jnp.asarray(rng.uniform(-0.5, 0.5, (3, N)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    cimg = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+
+    want = FT.trunk_cn(tp, p_cn, feats, cimg)
+    packed = pack_trunk_params(tp, with_img=True)
+    got = fused_trunk_cn(packed, p_cn, feats, cimg, tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    tp2 = FT.extract_trunk_params(v["params"]["decoder"], 3, with_img=False)
+    want2 = FT.trunk_cn(tp2, p_cn, feats)
+    got2 = fused_trunk_cn(pack_trunk_params(tp2, with_img=False), p_cn, feats,
+                          tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
+
+
+def test_gating_cn_matches_reference_semantics(rng):
+    """Matmul-based gating must equal the broadcast-difference gating."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, _, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    N, C = 200, 8
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, (N, 3)), jnp.float32)
+    p_cn = pts.T
+
+    tips = jnp.asarray(rng.uniform(-0.3, 0.3, (5, 3)), jnp.float32)
+    feat = jnp.asarray(rng.standard_normal((5, C)), jnp.float32)
+    valid = jnp.asarray([True, False, True, True, False])
+    ref = gen._gate_chunk(pts, "tips", tips, feat, valid)
+    fast = FT.gate_tips_cn(p_cn, tips, feat, valid).T
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+    cpts = jnp.asarray(rng.uniform(-0.4, 0.4, (5, 16, 3)), jnp.float32)
+    cvalid = jnp.asarray(rng.random((5, 16)) > 0.4)
+    ref = gen._gate_chunk(pts, "contact", cpts, feat, cvalid)
+    fast = FT.gate_contact_cn(p_cn, cpts, feat, cvalid).T
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)

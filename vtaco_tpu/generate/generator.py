@@ -85,6 +85,10 @@ class Generator3D:
         self._decode_dense = jax.jit(
             self._decode_dense_impl, static_argnames=("nx", "gating")
         )
+        self._decode_dense_fast = jax.jit(
+            self._decode_dense_fast_impl,
+            static_argnames=("nx", "gating", "dtype", "use_pallas"),
+        )
 
     @classmethod
     def from_config(cls, model, cfg, **kw):
@@ -198,17 +202,81 @@ class Generator3D:
         logits = jax.lax.map(one_slab, (feats, pts_s))
         return logits.reshape(-1)
 
+    def _decode_dense_fast_impl(self, trunk_params, c, gate_pts, gate_feat,
+                                gate_valid, nx, gating, dtype,
+                                use_pallas=False):
+        """Channels-first whole-grid decode (ops.fast_trunk): feature
+        upsampling, gating and the MLP all keep points on the lane
+        dimension. Returns logits flattened z-slowest (caller transposes
+        the value grid)."""
+        from vtaco_tpu.ops import fast_trunk as FT
+        from vtaco_tpu.ops.dense_decode import (
+            dense_feature_volume_cn,
+            dense_query_grid_cn,
+        )
+
+        box_size = 1 + self.padding
+        feats = dense_feature_volume_cn(c, nx, box_size, self.padding, dtype)
+        p_cn = jnp.asarray(dense_query_grid_cn(nx, box_size))
+        c_img = None
+        if gating == "tips":
+            c_img = FT.gate_tips_cn(p_cn, gate_pts, gate_feat, gate_valid,
+                                    dtype=dtype)
+        elif gating == "contact":
+            c_img = FT.gate_contact_cn(p_cn, gate_pts, gate_feat, gate_valid,
+                                       dtype=dtype)
+        if use_pallas:
+            from vtaco_tpu.ops.pallas.decode import (
+                fused_trunk_cn,
+                pack_trunk_params,
+            )
+
+            packed = pack_trunk_params(trunk_params, with_img=gating != "none",
+                                       dtype=dtype)
+            return fused_trunk_cn(packed, p_cn, feats, c_img, dtype=dtype)
+        return FT.trunk_cn(trunk_params, p_cn, feats, c_img, dtype=dtype)
+
     def eval_points_dense(self, state, nx, c, gating="none", gate_pts=None,
-                          gate_feat=None, gate_valid=None):
-        """Dense nx³ decode (single dispatch). Returns host (nx³,) logits."""
+                          gate_feat=None, gate_valid=None, fast=True,
+                          dtype=jnp.float32, return_device=False,
+                          transfer_dtype=jnp.bfloat16, use_pallas=False):
+        """Dense nx³ decode (single dispatch). Returns host (nx³,) logits
+        flattened x-slowest (the make_3d_grid / reference ordering).
+
+        return_device=True skips the host transfer and returns the device
+        array (z-slowest flattening for the fast path). The host transfer
+        defaults to bf16 — value precision is ample for iso-crossing
+        interpolation and it halves the device→host payload.
+        """
         if gate_pts is None:
             gate_pts = jnp.zeros((1, 3))
             gate_feat = jnp.zeros((1, 1))
             gate_valid = jnp.zeros((1,), bool)
+        if fast:
+            from vtaco_tpu.ops import fast_trunk as FT
+
+            decoder = self.model.decoder
+            tp = FT.extract_trunk_params(
+                state.params["decoder"], decoder.n_blocks,
+                with_img=gating != "none",
+            )
+            logits = self._decode_dense_fast(
+                tp, c, gate_pts, gate_feat, gate_valid, nx, gating, dtype,
+                use_pallas,
+            )
+            if return_device:
+                return logits
+            host = np.asarray(logits.astype(transfer_dtype)).astype(np.float32)
+            # fast path flattens z-slowest; transpose back to x-slowest
+            return np.ascontiguousarray(
+                host.reshape(nx, nx, nx).transpose(2, 1, 0)
+            ).reshape(-1)
         logits = self._decode_dense(
             self._vars(state), c, gate_pts, gate_feat, gate_valid, nx, gating
         )
-        return np.asarray(logits)
+        if return_device:
+            return logits
+        return np.asarray(logits.astype(transfer_dtype)).astype(np.float32)
 
     def eval_points(self, state, pointsf, c, gating="none", gate_pts=None,
                     gate_feat=None, gate_valid=None):
@@ -236,6 +304,45 @@ class Generator3D:
             )
             outs.append(np.asarray(logits[: chunk.shape[0] - pad if pad else None]))
         return np.concatenate(outs, axis=0)
+
+    # ------------------------------------------------------------------
+    def decode_dense_batched(self, state, nx, c_batched, device_mesh=None,
+                             dtype=jnp.float32):
+        """Data-parallel batched dense decode: (B, ...) feature fields →
+        (B, nx³) logits, vmapped per sample and (optionally) sharded over
+        the mesh's 'data' axis — the batched multi-object inference mode
+        the single-GPU reference lacks.
+
+        Gating-free path (plain occupancy decode); per-sample tactile
+        gating uses generate_obj_mesh_wnf per item.
+        """
+        from vtaco_tpu.ops import fast_trunk as FT
+
+        tp = FT.extract_trunk_params(
+            state.params["decoder"], self.model.decoder.n_blocks, with_img=False
+        )
+        cache = getattr(self, "_decode_dense_vmapped", None)
+        if cache is None:
+            cache = self._decode_dense_vmapped = {}
+        key = (nx, jnp.dtype(dtype).name)
+        if key not in cache:
+            def one(tp, c):
+                return self._decode_dense_fast_impl(
+                    tp, c, jnp.zeros((1, 3)), jnp.zeros((1, 1)),
+                    jnp.zeros((1,), bool), nx=nx, gating="none", dtype=dtype,
+                )
+
+            cache[key] = jax.jit(jax.vmap(one, in_axes=(None, 0)))
+        if device_mesh is not None:
+            from vtaco_tpu.parallel.mesh import shard_batch
+
+            c_batched = shard_batch(device_mesh, c_batched)
+        logits = cache[key](tp, c_batched)
+        host = np.asarray(logits.astype(jnp.bfloat16)).astype(np.float32)
+        B = host.shape[0]
+        return np.ascontiguousarray(
+            host.reshape(B, nx, nx, nx).transpose(0, 3, 2, 1)
+        ).reshape(B, -1)
 
     # ------------------------------------------------------------------
     def generate_obj_mesh_wnf(self, state, data):

@@ -81,6 +81,63 @@ def dense_plane_features(c_plane, plane: str, nx: int, box_size: float,
     )
 
 
+def dense_feature_volume_cn(c_planes: dict, nx: int, box_size: float,
+                            padding: float, dtype=jnp.float32):
+    """Channels-first dense features: (C, N) with N flattened in
+    (z slowest, y, x fastest) order — the layout the fast trunk wants
+    (points on the 128-wide lane dimension).
+
+    The small source volume is transposed once (cheap); the big upsampled
+    volume is produced directly in the target layout.
+    """
+    acc = 0
+    if "grid" in c_planes:
+        g = c_planes["grid"]
+        if g.ndim == 5:
+            g = g[0]
+        g = g.astype(dtype)                            # (Z, Y, X, C)
+        R = g.shape[0]
+        W = jnp.asarray(
+            _axis_interp_matrix(nx, R, box_size, padding, True), dtype
+        )
+        g = jnp.transpose(g, (3, 0, 1, 2))             # (C, Z, Y, X)
+        g = jnp.einsum("iz,czyx->ciyx", W, g)
+        g = jnp.einsum("jy,ciyx->cijx", W, g)
+        g = jnp.einsum("kx,cijx->cijk", W, g)
+        acc = acc + g.reshape(g.shape[0], -1)
+    for key in ("xz", "xy", "yz"):
+        if key in c_planes:
+            p = c_planes[key]
+            if p.ndim == 4:
+                p = p[0]
+            p = p.astype(dtype)                         # (b, a, C)
+            R = p.shape[0]
+            W = jnp.asarray(
+                _axis_interp_matrix(nx, R, box_size, padding, False), dtype
+            )
+            p = jnp.transpose(p, (2, 0, 1))             # (C, b, a)
+            p = jnp.einsum("ia,cba->cbi", W, p)
+            p = jnp.einsum("jb,cbi->cji", W, p)         # (C, bq, aq)
+            C = p.shape[0]
+            # broadcast over the orthogonal axis in (z, y, x) order
+            if key == "xz":    # a=x, b=z → (C, z, x); broadcast y
+                vol = p[:, :, None, :]
+            elif key == "xy":  # a=x, b=y → (C, y, x); broadcast z
+                vol = p[:, None, :, :]
+            else:              # a=y, b=z → (C, z, y); broadcast x
+                vol = p[:, :, :, None]
+            acc = acc + jnp.broadcast_to(vol, (C, nx, nx, nx)).reshape(C, -1)
+    return acc
+
+
+def dense_query_grid_cn(nx: int, box_size: float):
+    """(3, N) query coordinates, N flattened z-slowest (matches
+    dense_feature_volume_cn)."""
+    coords = box_size * (-0.5 + np.arange(nx, dtype=np.float32) / (nx - 1))
+    gz, gy, gx = np.meshgrid(coords, coords, coords, indexing="ij")
+    return np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=0)
+
+
 def dense_query_grid(nx: int, box_size: float):
     """(nx³, 3) dense query coordinates (x slowest, z fastest)."""
     coords = box_size * (-0.5 + np.arange(nx, dtype=np.float32) / (nx - 1))

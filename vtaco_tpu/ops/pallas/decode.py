@@ -1,0 +1,136 @@
+"""Pallas fused occupancy-decode trunk.
+
+One kernel evaluates the whole conditioned ResNet-FC decoder for a tile of
+query points: features, coordinates and (optional) per-point tactile
+features stream through VMEM once; all twelve small matmuls and the
+residual/ReLU chain happen on-chip without materializing a single
+intermediate in HBM. This is the fusion XLA cannot be relied on to do for
+a 17-layer chain (each (C, N) intermediate is ~134 MB at n=2M).
+
+Layout contract: channels-first (C, N) activations — points ride the
+128-wide lane dimension (see ops.fast_trunk). Weights are packed once per
+parameter set with ``pack_trunk_params``:
+
+  w_in  (32, in_dim)    input projection, pre-transposed
+  b_in  (32, 1)
+  wc/w0/w1 (5, 32, 32)  per-block conditioning / fc_0 / fc_1, pre-transposed
+  bc/b0/b1 (5, 32, 1)
+  w_out (1, 32), b_out (1, 1)
+
+Matmuls accumulate in f32 (preferred_element_type); compute dtype of the
+streamed tensors is the caller's choice (bf16 halves HBM traffic).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_trunk_params(tp, with_img: bool, dtype=jnp.float32):
+    """ops.fast_trunk.extract_trunk_params output → packed kernel arrays."""
+    n_blocks = len(tp["blocks"])
+    k_in, b_in = tp["fc_p_img"] if with_img else tp["fc_p"]
+    packed = {
+        "w_in": jnp.asarray(k_in.T, dtype),               # (32, in)
+        "b_in": jnp.asarray(b_in.reshape(-1, 1), dtype),
+        "wc": jnp.stack([jnp.asarray(k.T, dtype) for k, _ in tp["fc_c"]]),
+        "bc": jnp.stack(
+            [jnp.asarray(b.reshape(-1, 1), dtype) for _, b in tp["fc_c"]]
+        ),
+        "w0": jnp.stack(
+            [jnp.asarray(w0.T, dtype) for w0, _, _, _ in tp["blocks"]]
+        ),
+        "b0": jnp.stack(
+            [jnp.asarray(b0.reshape(-1, 1), dtype) for _, b0, _, _ in tp["blocks"]]
+        ),
+        "w1": jnp.stack(
+            [jnp.asarray(w1.T, dtype) for _, _, w1, _ in tp["blocks"]]
+        ),
+        "b1": jnp.stack(
+            [jnp.asarray(b1.reshape(-1, 1), dtype) for _, _, _, b1 in tp["blocks"]]
+        ),
+        "w_out": jnp.asarray(tp["fc_out"][0].T, dtype),   # (1, 32)
+        "b_out": jnp.asarray(tp["fc_out"][1].reshape(-1, 1), dtype),
+    }
+    return packed
+
+
+def _trunk_kernel(n_blocks, dtype,
+                  w_in, b_in, wc, bc, w0, b0, w1, b1, w_out, b_out,
+                  x_ref, feats_ref, out_ref):
+    """x_ref: (in_dim, T) input projection operand (coords [+ c_img]);
+    feats_ref: (C, T) interpolated features; out_ref: (1, T) logits."""
+
+    def dot(w, x):
+        return jax.lax.dot_general(
+            w[:], x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    feats = feats_ref[:]
+    net = dot(w_in, x_ref[:]) + b_in[:]
+    for i in range(n_blocks):
+        net = net + dot(wc[i], feats) + bc[i]
+        h = dot(w0[i], jnp.maximum(net, 0.0).astype(dtype)) + b0[i]
+        dx = dot(w1[i], jnp.maximum(h, 0.0).astype(dtype)) + b1[i]
+        net = net + dx
+    out = dot(w_out, jnp.maximum(net, 0.0).astype(dtype)) + b_out[:]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def fused_trunk_cn(packed, p_cn, feats_cn, c_img_cn=None, *,
+                   tile: int = 8192, dtype=jnp.float32, interpret=False):
+    """Fused decoder trunk over (C, N) activations.
+
+    Args:
+      packed: pack_trunk_params output.
+      p_cn: (3, N) coordinates; feats_cn: (C, N); c_img_cn optional (C, N).
+    Returns (N,) float32 logits. N must be a multiple of `tile`.
+    """
+    C, N = feats_cn.shape
+    if N < tile:
+        tile = N
+    while N % tile:
+        tile //= 2
+    n_blocks = packed["wc"].shape[0]
+
+    x = p_cn.astype(dtype)
+    if c_img_cn is not None:
+        x = jnp.concatenate([x, c_img_cn.astype(dtype)], axis=0)
+    in_dim = x.shape[0]
+
+    kernel = functools.partial(_trunk_kernel, n_blocks, dtype)
+
+    weight_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
+        for _ in range(10)
+    ]
+    grid_spec = pl.GridSpec(
+        grid=(N // tile,),
+        in_specs=weight_specs + [
+            pl.BlockSpec((in_dim, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        packed["w_in"], packed["b_in"], packed["wc"], packed["bc"],
+        packed["w0"], packed["b0"], packed["w1"], packed["b1"],
+        packed["w_out"], packed["b_out"],
+        x, feats_cn.astype(dtype),
+    )
+    return out[0]

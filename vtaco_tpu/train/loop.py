@@ -144,21 +144,31 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
     logger = JsonlLogger(os.path.join(out_dir, "logs", "metrics.jsonl"))
     generator = generator_factory(model, cfg, bank) if generator_factory else None
 
+    from vtaco_tpu.utils.profiling import ProfiledRegion, StepTimer, debug_nans
+
+    if cfg["training"].get("debug_nans"):
+        debug_nans(True)
+    profiler = ProfiledRegion(cfg["training"].get("profile_dir"))
+    timer = StepTimer()
+
     t0 = time.time()
     stop = False
     while not stop:
         epoch_it += 1
         for batch in train_loader:
             it += 1
+            profiler.maybe_start(it)
             state, scalars = trainer.train_step(state, batch)
+            profiler.maybe_stop(it)
+            timer.tick()
             for k, v in scalars.items():
                 logger.add_scalar(f"train/{k}", v, it)
 
             if print_every > 0 and it % print_every == 0:
                 msg = ", ".join(f"{k}={v:.4f}" for k, v in scalars.items())
                 print(
-                    "[Epoch %02d] it=%03d, %s, time: %.2fs"
-                    % (epoch_it, it, msg, time.time() - t0)
+                    "[Epoch %02d] it=%03d, %s, %.2f it/s, time: %.2fs"
+                    % (epoch_it, it, msg, timer.steps_per_sec, time.time() - t0)
                 )
 
             if validate_every > 0 and it % validate_every == 0:
