@@ -306,6 +306,75 @@ class Generator3D:
         return np.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------------
+    def eval_points_dense_sharded(self, state, nx, c, device_mesh,
+                                  dtype=jnp.float32):
+        """Single-object dense decode with the *query-point axis* sharded
+        across the mesh's 'data' chips — the occupancy network's natural
+        sequence parallelism (SURVEY.md §2.8/§5): each chip upsamples and
+        decodes a z-slab of the grid; the host gathers logits for marching
+        cubes. Feature fields are replicated (33 MB); no collectives are
+        needed until the final gather.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vtaco_tpu.ops import fast_trunk as FT
+        from vtaco_tpu.ops.dense_decode import (
+            _axis_interp_matrix,
+            dense_query_grid_cn,
+        )
+
+        n_dev = device_mesh.shape["data"]
+        assert nx % n_dev == 0, (nx, n_dev)
+        tp = FT.extract_trunk_params(
+            state.params["decoder"], self.model.decoder.n_blocks, with_img=False
+        )
+        box_size = 1 + self.padding
+
+        key = ("sharded", nx, n_dev, jnp.dtype(dtype).name)
+        cache = getattr(self, "_sharded_cache", None)
+        if cache is None:
+            cache = self._sharded_cache = {}
+        if key not in cache:
+            def fn(tp, c, Wz_shard, p_shard):
+                # per-shard z-interp rows → (C, dz, ny, nxq) → trunk
+                g = c["grid"]
+                if g.ndim == 5:
+                    g = g[0]
+                g = jnp.transpose(g.astype(dtype), (3, 0, 1, 2))  # (C,Z,Y,X)
+                R = g.shape[1]
+                Wfull = jnp.asarray(
+                    _axis_interp_matrix(nx, R, box_size, self.padding, True),
+                    dtype,
+                )
+                g1 = jnp.einsum("iz,czyx->ciyx", Wz_shard, g)
+                g2 = jnp.einsum("jy,ciyx->cijx", Wfull, g1)
+                g3 = jnp.einsum("kx,cijx->cijk", Wfull, g2)
+                feats = g3.reshape(g3.shape[0], -1)
+                return FT.trunk_cn(tp, p_shard, feats, dtype=dtype)
+
+            cache[key] = jax.jit(
+                fn,
+                in_shardings=(
+                    NamedSharding(device_mesh, P()),
+                    NamedSharding(device_mesh, P()),
+                    NamedSharding(device_mesh, P("data", None)),
+                    NamedSharding(device_mesh, P(None, "data")),
+                ),
+                out_shardings=NamedSharding(device_mesh, P("data")),
+            )
+        p_cn = dense_query_grid_cn(nx, box_size)
+        # z-interp rows shard on the query-z axis; points shard to match
+        R = c["grid"].shape[0] if c["grid"].ndim == 4 else c["grid"].shape[1]
+        Wz = jnp.asarray(
+            _axis_interp_matrix(nx, R, box_size, self.padding, True), dtype
+        )
+        logits = cache[key](tp, c, Wz, jnp.asarray(p_cn))
+        host = np.asarray(logits.astype(jnp.bfloat16)).astype(np.float32)
+        return np.ascontiguousarray(
+            host.reshape(nx, nx, nx).transpose(2, 1, 0)
+        ).reshape(-1)
+
+    # ------------------------------------------------------------------
     def decode_dense_batched(self, state, nx, c_batched, device_mesh=None,
                              dtype=jnp.float32):
         """Data-parallel batched dense decode: (B, ...) feature fields →
@@ -455,7 +524,34 @@ class Generator3D:
         return (verts, faces), emd, cd
 
     # ------------------------------------------------------------------
-    def generate_hand_mesh(self, state, data):
+    def generate_obj_mesh_mise(self, state, data, resolution0=None,
+                               upsampling_steps=None):
+        """High-resolution extraction via MISE coarse-to-fine refinement.
+
+        Final resolution = resolution0 * 2**upsampling_steps (e.g. 64 * 2²
+        = 256³ while evaluating only a few percent of the dense grid). The
+        multi-resolution counterpart of generate_obj_mesh_wnf for the
+        plain-occupancy path.
+        """
+        from vtaco_tpu.generate.mise import multires_decode
+
+        res0 = resolution0 or self.resolution0 * 4
+        steps = upsampling_steps if upsampling_steps is not None else (
+            self.upsampling_steps
+        )
+        inputs = jnp.asarray(data["inputs"])
+        c = self._apply(state, self.model.encode_inputs, inputs, train=False)
+        # refinement + iso level in logit space: logit(p=0.5) = 0
+        thr_logit = float(np.log(self.threshold / (1 - self.threshold)))
+        values = multires_decode(
+            self, state, c, res0, steps, thr_logit
+        )
+        reso = res0 * 2**steps
+        box = 1 + self.padding
+        verts, faces = marching_cubes(values, level=thr_logit,
+                                      gradient="ascent")
+        verts = (verts / reso - 0.5) * box
+        return verts, faces
         """MANO prediction → world/object frame mesh (generation.py:74-113)."""
         inputs = jnp.asarray(data["inputs"])
         pc_ply = jnp.asarray(data["inputs.pc_ply"])[0]

@@ -227,6 +227,8 @@ class Trainer:
         if "points_iou" in batch:
             a["points_iou"] = jnp.asarray(batch["points_iou"])
             a["occ_iou"] = jnp.asarray(batch["points_iou.occ"])
+        if "voxels" in batch:
+            a["voxels"] = jnp.asarray(batch["voxels"])
         if self.mesh_bank is not None and "points.name" in batch:
             ids = self.mesh_bank.ids_for(batch["points.name"])
             mv, mf = self.mesh_bank.gather(jnp.asarray(ids))
@@ -478,6 +480,32 @@ class Trainer:
                     logits = model.apply(variables, p, c, method=model.decode)
             iou = metrics.compute_iou(occ_lbl, logits, self.threshold)
             out["iou"] = iou[0]
+
+            # optional voxel-grid IoU (training.py:374-390; the reference's
+            # call signature there is broken — fixed-threshold IoU here)
+            if "voxels" in a and self.model.encoder is not None:
+                from vtaco_tpu.ops.geometry import make_3d_grid
+
+                vox = a["voxels"]
+                r = vox.shape[1]
+                pts_vox = jnp.asarray(
+                    make_3d_grid(
+                        (-0.5 + 1 / 64,) * 3, (0.5 - 1 / 64,) * 3, vox.shape[1:]
+                    )
+                )[None]
+                pts_vox = jnp.broadcast_to(pts_vox, (vox.shape[0],) + pts_vox.shape[1:])
+                logits_v = self.model.apply(
+                    variables, pts_vox, c, method=self.model.decode
+                )
+                iou_vox = metrics.compute_iou(
+                    (vox.reshape(vox.shape[0], -1) >= 0.5).astype(jnp.float32),
+                    (jax.nn.sigmoid(logits_v) >= self.threshold).astype(
+                        jnp.float32
+                    ),
+                    0.5,
+                    legacy_mean_threshold=False,
+                )
+                out["iou_voxels"] = jnp.mean(iou_vox)
         return out
 
     def eval_step(self, state: TrainState, batch):
