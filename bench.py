@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="shrink the model (CPU smoke)")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--train", action="store_true",
+                    help="also measure full VTacO train-step throughput "
+                         "(adds a multi-minute grad compile)")
+    ap.add_argument("--train-batch", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -89,8 +93,18 @@ def main():
         m.decode_img(p0, c, jnp.zeros((1, 8, ci.shape[-1])))
 
     t0 = time.time()
-    variables = jax.jit(lambda: model.init(rng, method=init_fn))()
-    jax.block_until_ready(variables)
+    # parameter SHAPES only (values are random either way) — a compiled
+    # init of the full model costs minutes on a cold cache
+    shapes = jax.eval_shape(lambda: model.init(rng, method=init_fn))
+    _r = np.random.default_rng(0)
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            (np.abs(_r.standard_normal(s.shape)) * 0.05 + 0.01).astype(s.dtype)
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else np.zeros(s.shape, s.dtype)
+        ),
+        shapes,
+    )
     t_init = time.time() - t0
 
     gen = Generator3D(
@@ -117,8 +131,8 @@ def main():
     jax.block_until_ready(c)
     t_encode_compile = time.time() - t0
     t0 = time.time()
-    c = encode(variables, pts)
-    jax.block_until_ready(c)
+    c_fresh = encode(variables, pts * 0.99)  # distinct input: no result cache
+    jax.block_until_ready(c_fresh)
     t_encode = time.time() - t0
 
     # tactile feature gating inputs (synthetic contact points)
@@ -138,17 +152,27 @@ def main():
     # --- dense decode throughput (primary; single XLA dispatch) ----------
     import jax.numpy as jnp
 
+    # Distinct feature fields per repeat: the remote execution layer in
+    # this harness caches identical (program, args) pairs, which fakes
+    # near-zero repeat timings. Each variant is a genuinely different
+    # decode problem.
+    c_variants = [
+        jax.tree.map(lambda x, s=s: x * (1.0 + 0.01 * s), c)
+        for s in range(args.repeats + 1)
+    ]
+    jax.block_until_ready(c_variants)
+
     def bench_dense(**kw):
         t0 = time.time()
-        out = gen.eval_points_dense(state, nx, c, "contact", gate_pts,
-                                    gate_feat, gate_valid, **kw)
+        out = gen.eval_points_dense(state, nx, c_variants[0], "contact",
+                                    gate_pts, gate_feat, gate_valid, **kw)
         jax.block_until_ready(out) if kw.get("return_device") else None
         first = time.time() - t0
         best = np.inf
-        for _ in range(args.repeats):
+        for r in range(args.repeats):
             t0 = time.time()
-            v = gen.eval_points_dense(state, nx, c, "contact", gate_pts,
-                                      gate_feat, gate_valid, **kw)
+            v = gen.eval_points_dense(state, nx, c_variants[r + 1], "contact",
+                                      gate_pts, gate_feat, gate_valid, **kw)
             if kw.get("return_device"):
                 jax.block_until_ready(v)
             best = min(best, time.time() - t0)
@@ -166,21 +190,70 @@ def main():
     pts_per_sec = n_points / t_decode
 
     # --- scattered (arbitrary-point) decode, chunked legacy path ---------
-    gen.eval_points(state, pointsf, c, "contact", gate_pts, gate_feat,
-                    gate_valid)  # warmup/compile
+    gen.eval_points(state, pointsf, c_variants[0], "contact", gate_pts,
+                    gate_feat, gate_valid)  # warmup/compile
     t0 = time.time()
-    gen.eval_points(state, pointsf, c, "contact", gate_pts, gate_feat,
-                    gate_valid)
+    gen.eval_points(state, pointsf, c_variants[1], "contact", gate_pts,
+                    gate_feat, gate_valid)
     t_scatter = time.time() - t0
 
-    # --- end-to-end object latency (steady state) ------------------------
+    # --- end-to-end object latency (steady state, fresh input) -----------
+    pts2 = pts * 1.01
     t0 = time.time()
-    c2 = encode(variables, pts)
+    c2 = encode(variables, pts2)
     values = gen.eval_points_dense(state, nx, c2, "contact", gate_pts,
                                    gate_feat, gate_valid)
     grid = values.reshape(nx, nx, nx)
     verts, faces = marching_cubes(grid, gradient="ascent")
     t_object = time.time() - t0
+
+    train_detail = {}
+    if args.train:
+        import tempfile
+
+        from vtaco_tpu.core.config import get_dataset
+        from vtaco_tpu.data import BatchLoader
+        from vtaco_tpu.data.synthetic import generate
+        from vtaco_tpu.train.loop import build_mesh_bank
+        from vtaco_tpu.train.trainer import Trainer
+
+        tdir = tempfile.mkdtemp(prefix="vtaco_bench_")
+        root, mesh_root = generate(
+            tdir, n_models=max(2, args.train_batch), n_query=100000,
+            n_surface=20000, img_h=H, img_w=W, seed=0,
+            splits=(("train", 1.0),),
+        )
+        tcfg = dict(cfg)
+        tcfg["data"] = dict(cfg["data"])
+        tcfg["data"].update(
+            path=root, mesh_dir=os.path.join(mesh_root, "mesh_obj"),
+            depth_origin=os.path.join(mesh_root, "depth_origin.txt"),
+        )
+        ds = get_dataset("train", tcfg)
+        bank = build_mesh_bank(tcfg)
+        trainer = Trainer.from_config(model, tcfg, mesh_bank=bank)
+        batch = next(iter(BatchLoader(ds, args.train_batch, num_workers=2,
+                                      seed=0)))
+        t0 = time.time()
+        tstate = trainer.init_state(batch)
+        t_tinit = time.time() - t0
+        t0 = time.time()
+        tstate, _ = trainer.train_step(tstate, batch)
+        t_step_first = time.time() - t0
+        steps = []
+        for _ in range(3):
+            t0 = time.time()
+            tstate, _ = trainer.train_step(tstate, batch)
+            steps.append(time.time() - t0)
+        t_step = min(steps)
+        train_detail = {
+            "train_step_s": round(t_step, 4),
+            "train_steps_per_sec": round(1.0 / t_step, 3),
+            "train_samples_per_sec": round(args.train_batch / t_step, 2),
+            "train_batch": args.train_batch,
+            "train_compile_s": round(t_step_first, 1),
+            "train_init_s": round(t_tinit, 1),
+        }
 
     result = {
         "metric": "occupancy_decode_pts_per_sec_per_chip",
@@ -202,6 +275,7 @@ def main():
             "encode_compile_s": round(t_encode_compile, 2),
             "init_s": round(t_init, 2),
             "mc_verts": int(len(verts)),
+            **train_detail,
         },
     }
     print(json.dumps(result))

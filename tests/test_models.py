@@ -204,3 +204,35 @@ def test_factory_builds_tiny_composite(rng):
     assert chd["mano_param"].shape == (B, 30)  # 5 sensors x (pos3 + rot3)
     pdn = np.asarray(pd)
     assert (pdn >= 0).all() and (pdn <= 1).all()
+
+
+def test_attention_decoder(rng):
+    from vtaco_tpu.models.decoder import AttentionDecoder
+
+    dec = AttentionDecoder(c_dim=8, hidden_size=8, n_blocks=2, input_size=16)
+    p = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 16, 3)), jnp.float32)
+    c_plane = {"xz": jnp.asarray(rng.standard_normal((2, 4, 4, 8)), jnp.float32)}
+    c_img = jnp.asarray(rng.standard_normal((2, 16, 8)), jnp.float32)
+
+    def all_paths(d):
+        d(p, c_plane)
+        d.forward_img(p, c_plane, c_img)
+
+    v = dec.init(RNG, method=all_paths)
+    out = dec.apply(v, p, c_plane, c_img, method="forward_img")
+    assert out.shape == (2, 16)
+    # fusion transformer is engaged: img path differs from plain path
+    plain = dec.apply(v, p, c_plane)
+    assert np.abs(np.asarray(out) - np.asarray(plain)).max() > 1e-6
+    # weight-tied fusion: one self_attn + one cross_attn group
+    assert set(v["params"]["fuser"].keys()) == {"self_attn", "cross_attn"}
+
+
+def test_index_encoder(rng):
+    from vtaco_tpu.models.pointnet import IndexEncoder
+
+    enc = IndexEncoder(num_embeddings=10, c_dim=6)
+    idx = jnp.asarray([1, 7])
+    v = enc.init(RNG, idx)
+    out = enc.apply(v, idx)
+    assert out.shape == (2, 6)

@@ -65,7 +65,14 @@ def get_model(cfg, dataset=None):
 
     encoder_name = mcfg.get("encoder")
     encoder = None
-    if encoder_name not in (False, None, "idx"):
+    if encoder_name == "idx":
+        from vtaco_tpu.models.pointnet import IndexEncoder
+
+        encoder = IndexEncoder(
+            num_embeddings=len(dataset) if dataset is not None else 1,
+            c_dim=c_dim,
+        )
+    elif encoder_name not in (False, None):
         kw = dict(mcfg.get("encoder_kwargs") or {})
         kw.update(dim=dim, c_dim=c_dim, padding=padding)
         encoder = _build_encoder(encoder_name, kw)

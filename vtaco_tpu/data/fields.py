@@ -19,6 +19,8 @@ import os
 
 import numpy as np
 
+from vtaco_tpu.data.npz_cache import load_npz
+
 
 class Field:
     """Field protocol (src/data/core.py:13-33)."""
@@ -65,7 +67,7 @@ class PointsField(Field):
     def load(self, model_path, idx, category):
         name = model_path.split("/")[-1][:-5]
         file_path = _resolve(model_path, self.file_name, self.multi_files)
-        d = np.load(file_path, allow_pickle=True)
+        d = load_npz(file_path)
 
         points = d["points"]
         if points.dtype == np.float16:  # break symmetry (fields.py:137-139)
@@ -119,7 +121,7 @@ class PointCloudField(Field):
 
     def load(self, model_path, idx, category):
         file_path = _resolve(model_path, self.file_name, self.multi_files)
-        d = np.load(file_path, allow_pickle=True)
+        d = load_npz(file_path)
 
         images = np.asarray(d["img"], np.float32)
         if images.ndim == 4 and images.shape[1] == 3 and images.shape[-1] != 3:
@@ -156,7 +158,7 @@ class PartialPointCloudField(Field):
 
     def load(self, model_path, idx, category):
         file_path = _resolve(model_path, self.file_name, self.multi_files)
-        d = np.load(file_path, allow_pickle=True)
+        d = load_npz(file_path)
         points = d["points"].astype(np.float32)
         normals = d["normals"].astype(np.float32)
 
@@ -191,7 +193,7 @@ class PatchPointsField(Field):
         from vtaco_tpu.ops.geometry import normalize_coord
 
         file_path = _resolve(model_path, self.file_name, self.multi_files)
-        d = np.load(file_path, allow_pickle=True)
+        d = load_npz(file_path)
         points = d["points"]
         if points.dtype == np.float16:
             points = points.astype(np.float32)
@@ -241,7 +243,7 @@ class PatchPointCloudField(Field):
         from vtaco_tpu.ops.geometry import coord2index
 
         file_path = _resolve(model_path, self.file_name, self.multi_files)
-        d = np.load(file_path, allow_pickle=True)
+        d = load_npz(file_path)
         points = d["points"].astype(np.float32)
         normals = d["normals"].astype(np.float32)
 

@@ -552,6 +552,9 @@ class Generator3D:
                                       gradient="ascent")
         verts = (verts / reso - 0.5) * box
         return verts, faces
+
+    # ------------------------------------------------------------------
+    def generate_hand_mesh(self, state, data):
         """MANO prediction → world/object frame mesh (generation.py:74-113)."""
         inputs = jnp.asarray(data["inputs"])
         pc_ply = jnp.asarray(data["inputs.pc_ply"])[0]

@@ -27,9 +27,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-attn_init = nn.initializers.normal(stddev=None)  # set per-layer below
-
-
 def _instance_norm(x, eps: float = 1e-5):
     """InstanceNorm1d over the sequence axis of (B, N, C), biased variance."""
     mean = jnp.mean(x, axis=1, keepdims=True)

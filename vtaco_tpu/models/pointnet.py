@@ -35,6 +35,21 @@ from vtaco_tpu.ops.geometry import (
 PLANE_ORDER = ("grid", "xz", "xy", "yz")
 
 
+class IndexEncoder(nn.Module):
+    """Per-sample learned latent by dataset index (the reference's
+    ``encoder == 'idx'`` mode, src/conv_onet/config.py:87-88: an
+    nn.Embedding over the dataset)."""
+
+    num_embeddings: int
+    c_dim: int = 128
+
+    @nn.compact
+    def __call__(self, idx, train: bool = True):
+        return nn.Embed(self.num_embeddings, self.c_dim, name="embedding")(
+            jnp.asarray(idx, jnp.int32)
+        )
+
+
 def _canon_planes(plane_type) -> Tuple[str, ...]:
     """Canonicalize the config's plane_type (str or list) to a tuple in the
     reference's feature-dict insertion order."""

@@ -314,6 +314,49 @@ def rot6d_to_rotmat(x):
     return jnp.stack([b1, b2, b3], axis=-2).swapaxes(-1, -2)
 
 
+def rotmat_projection(mats):
+    """Project (..., 3, 3) matrices onto SO(3) via SVD.
+
+    Counterpart of manopth/rotproj.py batch_rotprojs (used by the 'rotmat'
+    joint mode): nearest rotation with det +1.
+    """
+    U, _, Vt = jnp.linalg.svd(mats)
+    R = U @ Vt
+    det = jnp.linalg.det(R)
+    # flip the last singular direction where det is negative
+    U_fix = U.at[..., :, -1].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])
+    return U_fix @ Vt
+
+
+# quaternion algebra (manopth/quatutils.py counterparts); (w, x, y, z) order
+def quaternion_mul(q, r):
+    w1, x1, y1, z1 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    w2, x2, y2, z2 = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def quaternion_inv(q):
+    conj = q * jnp.array([1.0, -1.0, -1.0, -1.0])
+    return conj / jnp.sum(q * q, axis=-1, keepdims=True)
+
+
+def quaternion_normalize(q):
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+# alias matching the reference name (quatutils.quaternion_to_rotation_matrix)
+def quaternion_to_rotation_matrix(q):
+    return quat2mat(q)
+
+
 def axisang_to_euler_xyz(rotvec):
     """Axis-angle → intrinsic XYZ Euler angles.
 

@@ -94,7 +94,12 @@ class Trainer:
         tips_per_finger=512,
         device_mesh=None,
         seed=0,
+        matmul_precision="default",
     ):
+        """``matmul_precision``: 'default' runs matmuls in the MXU's native
+        bf16 passes (the idiomatic TPU training mode — f32 storage, bf16
+        multiplies), 'float32'/'highest' add re-passes for tighter numerics
+        (use for strict parity runs)."""
         self.model = model
         if optimizer is None:
             optimizer = (
@@ -118,6 +123,7 @@ class Trainer:
         self.tips_per_finger = tips_per_finger
         self.device_mesh = device_mesh
         self.seed = seed
+        self.matmul_precision = matmul_precision
         if vis_dir is not None and not os.path.exists(vis_dir):
             os.makedirs(vis_dir)
 
@@ -155,6 +161,7 @@ class Trainer:
             mesh_bank=mesh_bank,
             depth_origin=depth_origin,
             device_mesh=device_mesh,
+            matmul_precision=cfg["training"].get("matmul_precision", "default"),
             **kw,
         )
 
@@ -272,7 +279,6 @@ class Trainer:
     def _compute_loss(self, params, batch_stats, rng, a, train=True):
         """Dispatch to the configured loss path; returns
         (loss, (scalars, new_batch_stats))."""
-        variables = {"params": params, "batch_stats": batch_stats}
         model = self.model
         bs = batch_stats
 
@@ -398,9 +404,12 @@ class Trainer:
         rng, step_rng = jax.random.split(state.rng)
 
         def loss_fn(params):
-            return self._compute_loss(params, state.batch_stats, step_rng, a)
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._compute_loss(
+                    params, state.batch_stats, step_rng, a
+                )
 
-        (loss, (scalars, new_bs)), grads = jax.value_and_grad(
+        (_, (scalars, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         updates, new_opt = self.optimizer.update(
