@@ -173,3 +173,25 @@ def test_tactile_generator_pc(synth):
     pcs = gen.generate_tactile_pc(state, batch)
     assert pcs.shape == (1, 5, 16 * 12, 3)
     assert np.isfinite(pcs).all()
+
+
+def test_crop_mode_trains(synth):
+    """Sliding-window (pointcloud_crop) path end to end: crop fields →
+    patch encoder/decoder → one train step."""
+    root, mesh_root = synth
+    cfg = load_config("configs/crop/scene_crop.yaml", "configs/default.yaml")
+    cfg["data"].update(path=root, points_subsample=128, pointcloud_n=128,
+                       query_vol_size=8)
+    cfg["model"]["encoder_kwargs"].update(hidden_dim=8)
+    cfg["model"]["encoder_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
+    cfg["model"]["encoder_kwargs"]["unet3d_kwargs"]["num_levels"] = 1
+    cfg["model"]["decoder_kwargs"].update(hidden_size=16)
+
+    ds = get_dataset("train", cfg)
+    model, _ = get_model(cfg, dataset=ds)
+    tr = Trainer.from_config(model, cfg)
+    batch = next(iter(BatchLoader(ds, batch_size=2, num_workers=1, seed=0)))
+    assert any(k.startswith("inputs.ind.") for k in batch)
+    state = tr.init_state(batch)
+    state, sc = tr.train_step(state, batch)
+    assert np.isfinite(sc["loss"])

@@ -58,6 +58,11 @@ class CheckpointIO:
         Missing files raise FileNotFoundError (caller tolerates, as
         train.py:134-137 does).
         """
+        if filename.startswith(("http://", "https://")):
+            raise NotImplementedError(
+                "URL checkpoint loading (src/checkpoints.py:72-82) is not "
+                "supported in this build: download the file and pass a path"
+            )
         path = self._path(filename)
         if not os.path.exists(path):
             raise FileNotFoundError(path)

@@ -55,6 +55,26 @@ def get_model(cfg, dataset=None):
     with_img = mcfg["with_img"]
     with_contact = mcfg["with_contact"]
 
+    # crop mode: feature resolution follows the crop volume
+    # (src/conv_onet/config.py:62-76)
+    if cfg["data"].get("input_type") == "pointcloud_crop" and dataset is not None:
+        from vtaco_tpu.ops.geometry import update_reso
+
+        enc_kw = mcfg["encoder_kwargs"]
+        fea_type = enc_kw["plane_type"]
+        if getattr(dataset, "split", None) == "train" or cfg["generation"].get(
+            "sliding_window"
+        ):
+            recep_field = 2 ** (enc_kw["unet3d_kwargs"]["num_levels"] + 2)
+            reso = cfg["data"]["query_vol_size"] + recep_field - 1
+            reso = update_reso(reso, dataset.depth)
+        else:
+            reso = dataset.total_reso
+        if "grid" in fea_type:
+            enc_kw["grid_resolution"] = reso
+        if set(fea_type) & {"xz", "xy", "yz"}:
+            enc_kw["plane_resolution"] = reso
+
     decoder_name = mcfg["decoder"]
     decoder = None
     if decoder_name not in (False, None):

@@ -166,6 +166,10 @@ class Shapes3dDataset:
                         data[field_name] = np.asarray(v, np.float32)
                     elif k == "name":
                         data[f"{field_name}.{k}"] = v
+                    elif isinstance(v, dict):
+                        # nested dicts (crop 'ind' / 'normalized' per plane)
+                        for sub, sv in v.items():
+                            data[f"{field_name}.{k}.{sub}"] = np.asarray(sv)
                     else:
                         data[f"{field_name}.{k}"] = np.asarray(v, np.float32)
             else:

@@ -292,6 +292,7 @@ class Generator3D:
             gate_pts = jnp.zeros((1, 3))
             gate_feat = jnp.zeros((1, 1))
             gate_valid = jnp.zeros((1,), bool)
+        crop_mode = self.input_type == "pointcloud_crop"
         outs = []
         for i in range(0, n, bs):
             chunk = jnp.asarray(pointsf[i : i + bs])
@@ -299,9 +300,28 @@ class Generator3D:
             if chunk.shape[0] < bs and i > 0:
                 pad = bs - chunk.shape[0]
                 chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
-            logits = self._decode_chunk(
-                variables, chunk, c, gate_pts, gate_feat, gate_valid, gating
-            )
+            if crop_mode:
+                # whole-scene crop decode (generation.py:356-366); the
+                # reference's sliding-window branch calls an undefined
+                # predict_crop_occ — only this sub-path ever worked.
+                from vtaco_tpu.ops.geometry import normalize_coord
+
+                p_n = {
+                    key: jnp.asarray(
+                        normalize_coord(np.asarray(chunk), self.input_vol,
+                                        plane=key)
+                    )[None]
+                    for key in c.keys()
+                }
+                pi_in = {"p": chunk[None], "p_n": p_n}
+                logits = self.model.apply(
+                    variables, pi_in, c, method=self.model.decode
+                )[0]
+            else:
+                logits = self._decode_chunk(
+                    variables, chunk, c, gate_pts, gate_feat, gate_valid,
+                    gating,
+                )
             outs.append(np.asarray(logits[: chunk.shape[0] - pad if pad else None]))
         return np.concatenate(outs, axis=0)
 

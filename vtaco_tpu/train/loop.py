@@ -91,7 +91,7 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
         num_workers=cfg["training"]["n_workers_val"],
     )
 
-    model, aux = get_model(cfg)
+    model, aux = get_model(cfg, dataset=train_dataset)
     bank = build_mesh_bank(cfg, train_dataset)
     trainer = Trainer.from_config(
         model, cfg, mesh_bank=bank, device_mesh=device_mesh

@@ -176,19 +176,28 @@ class Trainer:
 
         def init_fn(model):
             inputs = arrays["inputs"]
-            B = inputs.shape[0]
+            if "inputs_index" in arrays:
+                inputs = {"points": inputs, "index": arrays["inputs_index"]}
+            B = arrays["inputs"].shape[0]
             if model.encoder is not None:
                 c = model.encode_inputs(inputs, train=False)
             else:
                 c = None
             if model.encoder_hand is not None:
-                model.encode_hand_inputs(inputs, train=False)
+                model.encode_hand_inputs(arrays["inputs"], train=False)
             if model.encoder_img is not None:
                 ci = model.encode_img_inputs(arrays["imgs"], train=False)
             if model.encoder_t2d is not None:
-                model.encode_t2d(inputs, arrays["imgs"], train=False)
+                model.encode_t2d(arrays["inputs"], arrays["imgs"], train=False)
             if model.decoder is not None:
                 p = arrays["points"][:, : self.num_sample]
+                if "points_normalized" in arrays:
+                    p = {
+                        "p": arrays["points"],
+                        "p_n": arrays["points_normalized"],
+                    }
+                    model.decode(p, c)
+                    return
                 model.decode(p, c)
                 cdim = model.decoder.c_dim
                 model.decode_img(p, c, jnp.zeros(p.shape[:2] + (cdim,)))
@@ -236,6 +245,20 @@ class Trainer:
             a["occ_iou"] = jnp.asarray(batch["points_iou.occ"])
         if "voxels" in batch:
             a["voxels"] = jnp.asarray(batch["voxels"])
+        # sliding-window crop mode: precomputed per-plane indices / coords
+        ind_keys = [k for k in batch if k.startswith("inputs.ind.")]
+        if ind_keys:
+            a["inputs_index"] = {
+                k.split(".")[-1]: jnp.asarray(batch[k], jnp.int32)[:, 0]
+                for k in ind_keys
+            }
+            if "inputs.mask" in batch:
+                a["inputs_mask"] = jnp.asarray(batch["inputs.mask"])
+        norm_keys = [k for k in batch if k.startswith("points.normalized.")]
+        if norm_keys:
+            a["points_normalized"] = {
+                k.split(".")[-1]: jnp.asarray(batch[k]) for k in norm_keys
+            }
         if self.mesh_bank is not None and "points.name" in batch:
             ids = self.mesh_bank.ids_for(batch["points.name"])
             mv, mf = self.mesh_bank.gather(jnp.asarray(ids))
@@ -380,19 +403,33 @@ class Trainer:
             return loss, (scalars, bs)
 
         # compute_loss / compute_loss_contact (training.py:454-500, 896-948)
-        c = apply(model.encode_inputs, a["inputs"])
-        c_hand = apply(model.encode_hand_inputs, a["inputs"])
+        # crop mode wraps inputs/points into the dict forms the patch
+        # encoder/decoder expect (training.py:468-473 add_key)
+        enc_in = a["inputs"]
+        p_in = a["points"]
+        if "inputs_index" in a:
+            enc_in = {"points": a["inputs"], "index": a["inputs_index"]}
+        if "points_normalized" in a:
+            p_in = {"p": a["points"], "p_n": a["points_normalized"]}
+        c = apply(model.encode_inputs, enc_in)
+        if model.encoder_hand is not None:
+            c_hand = apply(model.encode_hand_inputs, a["inputs"])
+        else:
+            c_hand = None
         if self.with_contact:
-            logits, pred_contact = apply(model.decode_contact, a["points"], c)
+            logits, pred_contact = apply(model.decode_contact, p_in, c)
             loss_contact = optax.sigmoid_binary_cross_entropy(
                 pred_contact, a["contact"]
             ).mean()
             scalars["loss_contact"] = loss_contact
         else:
-            logits = apply(model.decode, a["points"], c)
+            logits = apply(model.decode, p_in, c)
             loss_contact = 0.0
         loss_l1 = jnp.mean(jnp.abs(logits - a["occ"]))
-        loss_mano, loss_pc = self._loss_common(c_hand, a)
+        if c_hand is not None:
+            loss_mano, loss_pc = self._loss_common(c_hand, a)
+        else:
+            loss_mano = loss_pc = jnp.zeros(())
         loss = loss_l1 + loss_mano + loss_pc + loss_contact
         scalars.update(
             loss=loss, loss_l1=loss_l1, loss_mano=loss_mano, loss_pc=loss_pc
