@@ -48,6 +48,13 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass
+        cache_dir = "/tmp/vtaco_jax_cache_cpu"
+    else:
+        cache_dir = "/tmp/vtaco_jax_cache_tpu"
+    # persistent per-backend compile cache: repeat bench runs skip the
+    # multi-minute compiles (never share dirs across backends)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
     import numpy as np

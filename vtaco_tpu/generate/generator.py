@@ -99,6 +99,36 @@ class Generator3D:
         dpath = cfg["data"].get("depth_origin")
         if dpath and os.path.exists(dpath):
             depth_origin = np.loadtxt(dpath).astype(np.float32)
+
+        # crop-volume bookkeeping (src/conv_onet/config.py:224-247)
+        vol_info = vol_bound = None
+        if cfg["data"].get("input_type") == "pointcloud_crop":
+            from vtaco_tpu.ops.geometry import (
+                decide_total_volume_range,
+                update_reso,
+            )
+
+            enc_kw = cfg["model"]["encoder_kwargs"]
+            query_vol_metric = cfg["data"]["padding"] + 1
+            unit_size = cfg["data"]["unit_size"]
+            recep_field = 2 ** (enc_kw["unet3d_kwargs"]["num_levels"] + 2)
+            if enc_kw.get("unet"):
+                depth = enc_kw["unet_kwargs"]["depth"]
+            else:
+                depth = enc_kw["unet3d_kwargs"]["num_levels"]
+            vol_info = decide_total_volume_range(
+                query_vol_metric, recep_field, unit_size, depth
+            )
+            if gen.get("sliding_window"):
+                grid_reso = update_reso(
+                    cfg["data"]["query_vol_size"] + recep_field - 1, depth
+                )
+                vol_bound = {
+                    "query_crop_size": cfg["data"]["query_vol_size"] * unit_size,
+                    "input_crop_size": grid_reso * unit_size,
+                    "fea_type": enc_kw["plane_type"],
+                    "reso": grid_reso,
+                }
         return cls(
             model,
             points_batch_size=gen.get("batch_size", 100000),
@@ -114,6 +144,8 @@ class Generator3D:
             with_img=cfg["model"]["with_img"],
             encode_t2d=bool(cfg["model"]["encoder_t2d"]),
             depth_origin=depth_origin,
+            vol_info=vol_info,
+            vol_bound=vol_bound,
             **kw,
         )
 

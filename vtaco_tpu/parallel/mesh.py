@@ -44,6 +44,8 @@ def mesh_from_config(cfg) -> Optional[Mesh]:
     model = mcfg.get("model", 1)
     if data in (1, None) and model in (1, None):
         return None
+    if data == -1 and model in (1, None) and len(jax.devices()) == 1:
+        return None  # single chip: plain jit, no sharding overhead
     return make_mesh(data=data, model=model)
 
 

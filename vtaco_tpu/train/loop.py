@@ -91,6 +91,13 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
         num_workers=cfg["training"]["n_workers_val"],
     )
 
+    if device_mesh is None:
+        from vtaco_tpu.parallel.mesh import mesh_from_config
+
+        device_mesh = mesh_from_config(cfg)
+        if device_mesh is not None:
+            print(f"device mesh: {dict(device_mesh.shape)}")
+
     model, aux = get_model(cfg, dataset=train_dataset)
     bank = build_mesh_bank(cfg, train_dataset)
     trainer = Trainer.from_config(
