@@ -132,10 +132,13 @@ def dense_feature_volume_cn(c_planes: dict, nx: int, box_size: float,
 
 def dense_query_grid_cn(nx: int, box_size: float):
     """(3, N) query coordinates, N flattened z-slowest (matches
-    dense_feature_volume_cn)."""
-    coords = box_size * (-0.5 + np.arange(nx, dtype=np.float32) / (nx - 1))
-    gz, gy, gx = np.meshgrid(coords, coords, coords, indexing="ij")
-    return np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=0)
+    dense_feature_volume_cn). Built with on-device iotas so jitted callers
+    embed a few scalars instead of a 3*nx³ constant."""
+    coords = box_size * (-0.5 + jnp.arange(nx, dtype=jnp.float32) / (nx - 1))
+    gz = jnp.broadcast_to(coords[:, None, None], (nx, nx, nx))
+    gy = jnp.broadcast_to(coords[None, :, None], (nx, nx, nx))
+    gx = jnp.broadcast_to(coords[None, None, :], (nx, nx, nx))
+    return jnp.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], axis=0)
 
 
 def dense_query_grid(nx: int, box_size: float):
