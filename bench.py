@@ -39,6 +39,8 @@ def main():
                     help="also measure full VTacO train-step throughput "
                          "(adds a multi-minute grad compile)")
     ap.add_argument("--train-batch", type=int, default=3)
+    ap.add_argument("--train-remat", action="store_true",
+                    help="rematerialize activations (bigger train batches)")
     args = ap.parse_args()
 
     import jax
@@ -247,7 +249,8 @@ def main():
         )
         ds = get_dataset("train", tcfg)
         bank = build_mesh_bank(tcfg)
-        trainer = Trainer.from_config(model, tcfg, mesh_bank=bank)
+        trainer = Trainer.from_config(model, tcfg, mesh_bank=bank,
+                                      remat=args.train_remat)
         batch = next(iter(BatchLoader(ds, args.train_batch, num_workers=2,
                                       seed=0)))
         t0 = time.time()

@@ -195,3 +195,37 @@ def test_crop_mode_trains(synth):
     state = tr.init_state(batch)
     state, sc = tr.train_step(state, batch)
     assert np.isfinite(sc["loss"])
+
+
+def test_async_checkpoint(synth, tmp_path):
+    from vtaco_tpu.core.checkpoint import CheckpointIO
+
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/tactile/tactile_test.yaml", root, mesh_root)
+    model, _ = get_model(cfg)
+    tr = Trainer.from_config(model, cfg)
+    ds = get_dataset("train", cfg)
+    batch = next(iter(BatchLoader(ds, batch_size=2, num_workers=1, seed=0)))
+    state = tr.init_state(batch)
+    ckpt = CheckpointIO(str(tmp_path), state=state)
+    fut = ckpt.save_async("model.ckpt", it=3)
+    fut.result(timeout=60)
+    ckpt.wait()
+    restored, scalars = ckpt.load("model.ckpt", state=state)
+    assert scalars["it"] == 3
+
+
+def test_exit_after_preemption(synth, tmp_path):
+    """--exit-after contract: checkpoint written, SystemExit code 3."""
+    from vtaco_tpu.train.loop import train
+
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/tactile/tactile_test.yaml", root, mesh_root)
+    cfg["training"]["out_dir"] = str(tmp_path)
+    cfg["training"]["batch_size"] = 2
+    cfg["training"]["validate_every"] = 0
+    cfg["training"]["visualize_every"] = 0
+    with pytest.raises(SystemExit) as e:
+        train(cfg, exit_after=1)
+    assert e.value.code == 3
+    assert os.path.exists(os.path.join(str(tmp_path), "model.ckpt"))

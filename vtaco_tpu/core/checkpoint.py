@@ -52,6 +52,41 @@ class CheckpointIO:
             f.write(blob)
         os.replace(tmp, path)
 
+    def save_async(self, filename, **scalars):
+        """Non-blocking save: device arrays are snapshotted to host
+        synchronously (cheap), serialization + disk IO run on a background
+        thread so the train loop isn't stalled by checkpoint cadences.
+        Returns a Future; pending saves are serialized per CheckpointIO."""
+        import concurrent.futures
+        import threading
+
+        if not hasattr(self, "_pool"):
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                1, thread_name_prefix="ckpt"
+            )
+            self._save_lock = threading.Lock()
+        # host snapshot now — the caller may mutate state afterwards
+        payload = {"_scalars": dict(scalars)}
+        for k, v in self.module_dict.items():
+            payload[k] = jax.tree.map(np.asarray, serialization.to_state_dict(v))
+        path = self._path(filename)
+
+        def write():
+            with self._save_lock:
+                blob = serialization.msgpack_serialize(payload)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, path)
+
+        return self._pool.submit(write)
+
+    def wait(self):
+        """Block until pending async saves complete."""
+        if hasattr(self, "_pool"):
+            self._pool.shutdown(wait=True)
+            del self._pool
+
     def load(self, filename, **restore_targets):
         """Restore registered pytrees in place-of (returns scalars dict).
 

@@ -36,15 +36,24 @@ def make_mesh(data: int = -1, model: int = 1,
     return Mesh(dev, axis_names=("data", "model"))
 
 
-def mesh_from_config(cfg) -> Optional[Mesh]:
+def mesh_from_config(cfg, batch_size: Optional[int] = None) -> Optional[Mesh]:
+    """Build the training mesh from ``training.mesh`` config keys.
+
+    data == -1 means "all devices", clamped to the largest count that
+    divides the batch size (a 2-sample batch on an 8-device host runs
+    2-way, not broken).
+    """
     mcfg = (cfg.get("training") or {}).get("mesh")
     if not mcfg:
         return None
     data = mcfg.get("data", -1)
-    model = mcfg.get("model", 1)
-    if data in (1, None) and model in (1, None):
-        return None
-    if data == -1 and model in (1, None) and len(jax.devices()) == 1:
+    model = mcfg.get("model", 1) or 1
+    if data == -1:
+        data = len(jax.devices()) // model
+        if batch_size is not None:
+            while data > 1 and batch_size % data:
+                data -= 1
+    if (data or 1) <= 1 and model <= 1:
         return None  # single chip: plain jit, no sharding overhead
     return make_mesh(data=data, model=model)
 

@@ -94,7 +94,7 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
     if device_mesh is None:
         from vtaco_tpu.parallel.mesh import mesh_from_config
 
-        device_mesh = mesh_from_config(cfg)
+        device_mesh = mesh_from_config(cfg, batch_size=batch_size)
         if device_mesh is not None:
             print(f"device mesh: {dict(device_mesh.shape)}")
 
@@ -194,14 +194,14 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
             if checkpoint_every > 0 and it % checkpoint_every == 0:
                 print("Saving checkpoint at iteration: %d" % it)
                 ckpt.register_modules(state=state)
-                ckpt.save("model.ckpt", epoch_it=epoch_it, it=it,
-                          loss_val_best=metric_val_best)
+                ckpt.save_async("model.ckpt", epoch_it=epoch_it, it=it,
+                                loss_val_best=metric_val_best)
 
             if backup_every > 0 and it % backup_every == 0:
                 print("Backup checkpoint at iteration: %d" % it)
                 ckpt.register_modules(state=state)
-                ckpt.save("model_%d.ckpt" % it, epoch_it=epoch_it, it=it,
-                          loss_val_best=metric_val_best)
+                ckpt.save_async("model_%d.ckpt" % it, epoch_it=epoch_it,
+                                it=it, loss_val_best=metric_val_best)
 
             if generator is not None and visualize_every > 0 and it % visualize_every == 0:
                 try:
@@ -211,6 +211,7 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
 
             if exit_after > 0 and (time.time() - t0) >= exit_after:
                 print("Time limit reached. Exiting.")
+                ckpt.wait()
                 ckpt.register_modules(state=state)
                 ckpt.save("model.ckpt", epoch_it=epoch_it, it=it,
                           loss_val_best=metric_val_best)
@@ -219,6 +220,7 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
             if max_iters is not None and it >= max_iters:
                 stop = True
                 break
+    ckpt.wait()
     ckpt.register_modules(state=state)
     ckpt.save("model.ckpt", epoch_it=epoch_it, it=it,
               loss_val_best=metric_val_best)

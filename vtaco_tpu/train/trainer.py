@@ -95,11 +95,17 @@ class Trainer:
         device_mesh=None,
         seed=0,
         matmul_precision="default",
+        remat=False,
     ):
         """``matmul_precision``: 'default' runs matmuls in the MXU's native
         bf16 passes (the idiomatic TPU training mode — f32 storage, bf16
         multiplies), 'float32'/'highest' add re-passes for tighter numerics
-        (use for strict parity runs)."""
+        (use for strict parity runs).
+
+        ``remat``: rematerialize each encoder/decoder forward in the
+        backward pass (jax.checkpoint) — trades ~30% step FLOPs for the
+        activation memory that otherwise caps the batch size (the full
+        VTacO model OOMs a 16GB chip at batch 12 without it)."""
         self.model = model
         if optimizer is None:
             optimizer = (
@@ -124,6 +130,7 @@ class Trainer:
         self.device_mesh = device_mesh
         self.seed = seed
         self.matmul_precision = matmul_precision
+        self.remat = remat
         if vis_dir is not None and not os.path.exists(vis_dir):
             os.makedirs(vis_dir)
 
@@ -162,7 +169,7 @@ class Trainer:
             depth_origin=depth_origin,
             device_mesh=device_mesh,
             matmul_precision=cfg["training"].get("matmul_precision", "default"),
-            **kw,
+            **{"remat": cfg["training"].get("remat", False), **kw},
         )
 
     # ------------------------------------------------------------------
@@ -307,10 +314,16 @@ class Trainer:
 
         def apply(method, *args, **kw):
             nonlocal bs
-            out, mut = self._apply(
-                {"params": params, "batch_stats": bs}, method, *args,
-                train=train, **kw,
-            )
+
+            def run(params, bs_in, *a):
+                return self._apply(
+                    {"params": params, "batch_stats": bs_in}, method, *a,
+                    train=train, **kw,
+                )
+
+            if self.remat and train:
+                run = jax.checkpoint(run)
+            out, mut = run(params, bs, *args)
             bs = mut.get("batch_stats", bs)
             return out
 
