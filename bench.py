@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--train-batch", type=int, default=3)
     ap.add_argument("--train-remat", action="store_true",
                     help="rematerialize activations (bigger train batches)")
+    ap.add_argument("--mise", action="store_true",
+                    help="also measure 256^3 MISE multi-resolution extraction")
+    ap.add_argument("--gating", default="contact",
+                    choices=("contact", "tips", "none"),
+                    help="tactile-feature gating mode for the decode "
+                         "(contact materializes a (640, nx^3) distance "
+                         "field — use 'none' for nx > 128)")
     args = ap.parse_args()
 
     import jax
@@ -106,6 +113,7 @@ def main():
         ci = m.encode_img_inputs(imgs, train=False)
         m.encode_t2d(pts, imgs, train=False)
         p0 = jnp.zeros((1, 8, 3))
+        m.decode(p0, c)
         m.decode_img(p0, c, jnp.zeros((1, 8, ci.shape[-1])))
 
     t0 = time.time()
@@ -180,14 +188,14 @@ def main():
 
     def bench_dense(**kw):
         t0 = time.time()
-        out = gen.eval_points_dense(state, nx, c_variants[0], "contact",
+        out = gen.eval_points_dense(state, nx, c_variants[0], args.gating,
                                     gate_pts, gate_feat, gate_valid, **kw)
         jax.block_until_ready(out) if kw.get("return_device") else None
         first = time.time() - t0
         best = np.inf
         for r in range(args.repeats):
             t0 = time.time()
-            v = gen.eval_points_dense(state, nx, c_variants[r + 1], "contact",
+            v = gen.eval_points_dense(state, nx, c_variants[r + 1], args.gating,
                                       gate_pts, gate_feat, gate_valid, **kw)
             if kw.get("return_device"):
                 jax.block_until_ready(v)
@@ -205,10 +213,10 @@ def main():
     pts_per_sec = n_points / t_decode
 
     # --- scattered (arbitrary-point) decode, chunked legacy path ---------
-    gen.eval_points(state, pointsf, c_variants[0], "contact", gate_pts,
+    gen.eval_points(state, pointsf, c_variants[0], args.gating, gate_pts,
                     gate_feat, gate_valid)  # warmup/compile
     t0 = time.time()
-    gen.eval_points(state, pointsf, c_variants[1], "contact", gate_pts,
+    gen.eval_points(state, pointsf, c_variants[1], args.gating, gate_pts,
                     gate_feat, gate_valid)
     t_scatter = time.time() - t0
 
@@ -219,11 +227,32 @@ def main():
         pts2 = pts * (1.01 + 0.01 * r)
         t0 = time.time()
         c2 = encode(variables, pts2)
-        values = gen.eval_points_dense(state, nx, c2, "contact", gate_pts,
+        values = gen.eval_points_dense(state, nx, c2, args.gating, gate_pts,
                                        gate_feat, gate_valid)
         grid = values.reshape(nx, nx, nx)
         verts, faces = marching_cubes(grid, gradient="ascent")
         t_object = min(t_object, time.time() - t0)
+
+    mise_detail = {}
+    if args.mise:
+        from vtaco_tpu.generate.mise import multires_decode
+
+        # refine around a level the random-weights field actually crosses
+        level = float(values.mean())
+        # 64³ dense coarse pass + boundary-only refinement to 256³
+        t0 = time.time()
+        vals = multires_decode(gen, state, c_variants[0], 64, 2, level)
+        verts_m, faces_m = marching_cubes(vals, level=level, gradient="ascent")
+        t_mise_first = time.time() - t0
+        t0 = time.time()
+        vals = multires_decode(gen, state, c_variants[1], 64, 2, level)
+        verts_m, faces_m = marching_cubes(vals, level=level, gradient="ascent")
+        t_mise = time.time() - t0
+        mise_detail = {
+            "mise256_s": round(t_mise, 3),
+            "mise256_first_s": round(t_mise_first, 1),
+            "mise256_verts": int(len(verts_m)),
+        }
 
     train_detail = {}
     if args.train:
@@ -293,6 +322,7 @@ def main():
             "encode_compile_s": round(t_encode_compile, 2),
             "init_s": round(t_init, 2),
             "mc_verts": int(len(verts)),
+            **mise_detail,
             **train_detail,
         },
     }

@@ -118,3 +118,21 @@ def test_synthetic_dataset_pipeline(tmp_path):
     import os
     for name in batch["points.name"]:
         assert os.path.exists(os.path.join(mesh_root, "mesh_obj", name + ".off"))
+
+
+def test_loader_surfaces_producer_errors(tmp_path):
+    """A crashing dataset must raise in the consumer, not hang the loader."""
+    import pytest
+
+    from vtaco_tpu.data import BatchLoader
+
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    loader = BatchLoader(Boom(), batch_size=2, num_workers=2, seed=0)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(iter(loader))

@@ -245,19 +245,26 @@ class BatchLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        error = []
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in batches:
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(collate_batch(samples))
-            q.put(stop)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        samples = list(pool.map(self.dataset.__getitem__, idxs))
+                        q.put(collate_batch(samples))
+            except BaseException as e:  # surface in the consumer, never hang
+                error.append(e)
+            finally:
+                q.put(stop)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         while True:
             item = q.get()
             if item is stop:
+                if error:
+                    raise error[0]
                 break
             if item is not None:
                 yield item
