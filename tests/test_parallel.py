@@ -58,3 +58,53 @@ def test_batched_dp_decode(rng):
     assert out.shape == (8, 16**3)
     one = gen.eval_points_dense(state, 16, {"grid": cB["grid"][3:4]}, fast=True)
     np.testing.assert_allclose(out[3], one, atol=1e-5)
+
+
+def test_dp_training_with_eval(rng):
+    """DP train + B=1 eval through the same trainer (eval batches don't
+    divide the mesh and must replicate instead of crashing)."""
+    import os
+
+    from vtaco_tpu.core.config import get_dataset, get_model, load_config
+    from vtaco_tpu.data import BatchLoader
+    from vtaco_tpu.data.synthetic import generate
+    from vtaco_tpu.train.loop import build_mesh_bank
+    from vtaco_tpu.train.trainer import Trainer
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root, mesh_root = generate(tmp, n_models=4, n_query=300,
+                                   n_surface=400, img_h=16, img_w=12, seed=2)
+        cfg = load_config("configs/VTacO/VTacO_YCB.yaml", "configs/default.yaml")
+        cfg["data"].update(
+            path=root, points_subsample=128, pointcloud_n=64, num_sample=128,
+            mesh_dir=os.path.join(mesh_root, "mesh_obj"),
+            depth_origin=os.path.join(mesh_root, "depth_origin.txt"),
+        )
+        m = cfg["model"]
+        m["encoder_kwargs"].update(hidden_dim=8, grid_resolution=8)
+        m["encoder_kwargs"]["unet3d_kwargs"].update(num_levels=2, f_maps=8,
+                                                    out_channels=32)
+        m["encoder_hand_kwargs"].update(hidden_dim=8, plane_resolution=8)
+        m["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
+        tk = m["encoder_t2d_kwargs"]
+        tk["encoder_hand_kwargs"].update(hidden_dim=8, plane_resolution=8)
+        tk["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
+        tk["encoder_img_kwargs"].update(depth=2, start_filts=8)
+        m["decoder_kwargs"].update(hidden_size=16)
+
+        mesh = make_mesh(data=2)
+        model, _ = get_model(cfg)
+        ds = get_dataset("train", cfg)
+        bank = build_mesh_bank(cfg)
+        tr = Trainer.from_config(model, cfg, mesh_bank=bank, device_mesh=mesh,
+                                 contact_per_finger=16)
+        batch = next(iter(BatchLoader(ds, 2, num_workers=1, seed=0)))
+        state = tr.init_state(batch)
+        state, sc = tr.train_step(state, batch)
+        assert np.isfinite(sc["loss"])
+        val = get_dataset("val", cfg, return_idx=True)
+        vb = next(iter(BatchLoader(val, 1, shuffle=False, num_workers=1)))
+        ev = tr.eval_step(state, vb)  # B=1 → replicated, must not crash
+        assert "iou" in ev

@@ -273,11 +273,18 @@ class Trainer:
         if self.device_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sharding = NamedSharding(self.device_mesh, P("data"))
-            a = {
-                k: jax.device_put(v, sharding)
-                for k, v in a.items()
-            }
+            n_data = self.device_mesh.shape["data"]
+            batch_sh = NamedSharding(self.device_mesh, P("data"))
+            repl_sh = NamedSharding(self.device_mesh, P())
+
+            def put(v):
+                # replicate anything whose batch axis doesn't divide the
+                # mesh (e.g. the B=1 eval batches)
+                lead = jax.tree.leaves(v)[0].shape[0]
+                sh = batch_sh if lead % n_data == 0 else repl_sh
+                return jax.device_put(v, sh)
+
+            a = {k: put(v) for k, v in a.items()}
         return a
 
     def _depth_origin_for(self, hw):
