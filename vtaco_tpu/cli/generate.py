@@ -34,6 +34,10 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from vtaco_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from vtaco_tpu.core.checkpoint import CheckpointIO
     from vtaco_tpu.core.config import get_dataset, get_model, load_config
     from vtaco_tpu.data import BatchLoader
@@ -58,7 +62,9 @@ def main(argv=None):
     bank = build_mesh_bank(cfg)
     trainer = Trainer.from_config(model, cfg, mesh_bank=bank)
     first = next(iter(BatchLoader(dataset, 1, shuffle=False, num_workers=1)))
-    state = trainer.init_state(first)
+    # structure-only state: values come from the checkpoint (skips the
+    # multi-minute init compile)
+    state = trainer.init_state_abstract(first)
 
     out_dir = cfg["training"]["out_dir"]
     ckpt_file = args.checkpoint or cfg["test"]["model_file"]

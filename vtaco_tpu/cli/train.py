@@ -36,12 +36,19 @@ def main(argv=None):
                         help="Override training.batch_size.")
     parser.add_argument("--out-dir", type=str, default=None,
                         help="Override training.out_dir.")
+    parser.add_argument("--on-device", action="store_true",
+                        help="Keep the whole train split in HBM and "
+                             "assemble/augment batches on device.")
     args = parser.parse_args(argv)
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    from vtaco_tpu.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from vtaco_tpu.core.config import load_config
     from vtaco_tpu.train.loop import train
@@ -60,6 +67,8 @@ def main(argv=None):
         cfg["training"]["batch_size"] = args.batch_size
     if args.out_dir:
         cfg["training"]["out_dir"] = args.out_dir
+    if args.on_device:
+        cfg["data"]["on_device"] = True
 
     out_dir = cfg["training"]["out_dir"]
     os.makedirs(out_dir, exist_ok=True)

@@ -358,6 +358,37 @@ class Generator3D:
         return np.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnames=("self", "H", "W"))
+    def _prep_contact_gates(self, gt_depths, pred_depths, d_origin, touch,
+                            cam_rot, cam_pos, pc_ply, H, W):
+        """Per-finger contact clouds for gating (generation.py:225-246).
+
+        gt/pred depths (5, H*W); touch (5,); cam_rot/pos (5, 3); returns
+        ((5, K, 3) normalized contact points, (5, K) validity)."""
+        import math
+
+        dmaps = gt_depths if self.legacy_gt_depth else (
+            pred_depths * 0.005 + 0.019
+        )
+        f = H / (2 * math.tan(math.radians(CAM_FOV / 2)))
+        rng = jax.random.PRNGKey(0)
+        rot_off = jnp.array([-jnp.pi / 2, 0.0, jnp.pi / 2])
+        pts_f, val_f = [], []
+        for f_idx in range(5):
+            diff = jnp.abs(dmaps[f_idx] - d_origin) > 0.0001
+            mask = diff & touch[f_idx]
+            idx, valid = C.random_topk_select(
+                mask, self.contact_per_finger, jax.random.fold_in(rng, f_idx)
+            )
+            cloud = C.backproject_depth(dmaps[f_idx].reshape(H, W), f, W, H)
+            world = pc_cam_to_world(
+                cloud[idx], cam_rot[f_idx] + rot_off, cam_pos[f_idx]
+            )
+            pts_f.append(norm_pc_1(world, pc_ply))
+            val_f.append(valid)
+        return jnp.stack(pts_f), jnp.stack(val_f)
+
+    # ------------------------------------------------------------------
     def eval_points_dense_sharded(self, state, nx, c, device_mesh,
                                   dtype=jnp.float32):
         """Single-object dense decode with the *query-point axis* sharded
@@ -500,44 +531,23 @@ class Generator3D:
                 state, self.model.encode_img_inputs, imgs, train=False
             )  # (1, 5, C)
             if self.encode_t2d:
-                # back-projected contact points per finger
+                # back-projected contact points per finger — one jitted
+                # program (eagerly this is dozens of dispatches per finger)
                 H, W = imgs.shape[2], imgs.shape[3]
                 hw = H * W
                 pred_depth, _ = self._apply(
                     state, self.model.encode_t2d, inputs, imgs, train=False
                 )
-                if self.legacy_gt_depth:
-                    dmaps = depths[0]
-                else:
-                    dmaps = pred_depth[0] * 0.005 + 0.019
                 d_origin = (
                     jnp.asarray(self.depth_origin)
                     if self.depth_origin is not None and len(self.depth_origin) == hw
                     else jnp.full((hw,), DEPTH_REST)
                 )
-                import math
-
-                f = H / (2 * math.tan(math.radians(CAM_FOV / 2)))
-                rng = jax.random.PRNGKey(0)
-                pts_f, val_f = [], []
-                rot_off = jnp.array([-jnp.pi / 2, 0.0, jnp.pi / 2])
-                for f_idx in range(5):
-                    diff = jnp.abs(dmaps[f_idx] - d_origin) > 0.0001
-                    mask = diff & touch[0, f_idx]
-                    idx, valid = C.random_topk_select(
-                        mask, self.contact_per_finger, jax.random.fold_in(rng, f_idx)
-                    )
-                    cloud = C.backproject_depth(
-                        dmaps[f_idx].reshape(H, W), f, W, H
-                    )
-                    world = pc_cam_to_world(
-                        cloud[idx], cam_rot[0, f_idx] + rot_off, cam_pos[0, f_idx]
-                    )
-                    pts_f.append(norm_pc_1(world, pc_ply[0]))
-                    val_f.append(valid)
+                gate_pts, gate_valid = self._prep_contact_gates(
+                    depths[0], pred_depth[0], d_origin, touch[0],
+                    cam_rot[0], cam_pos[0], pc_ply[0], H, W,
+                )
                 gating = "contact"
-                gate_pts = jnp.stack(pts_f)                     # (5, K, 3)
-                gate_valid = jnp.stack(val_f)                   # (5, K)
                 gate_feat = c_img[0]                            # (5, C)
             else:
                 # fingertip proximity (generation.py:159-200)

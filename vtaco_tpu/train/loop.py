@@ -82,10 +82,27 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
 
     train_dataset = get_dataset("train", cfg)
     val_dataset = get_dataset("val", cfg, return_idx=True)
-    train_loader = BatchLoader(
-        train_dataset, batch_size,
-        num_workers=cfg["training"]["n_workers"], shuffle=True,
-    )
+    if cfg["data"].get("on_device"):
+        # whole split resident in HBM; batches assembled + augmented on
+        # device (see vtaco_tpu.data.device_data)
+        from vtaco_tpu.data.device_data import DeviceBatchLoader, DeviceDataset
+
+        dds = DeviceDataset(
+            train_dataset,
+            pointcloud_noise=cfg["data"]["pointcloud_noise"],
+        )
+        print("device-resident dataset: %d models, %.1f MB in HBM"
+              % (dds.n_models, dds.nbytes() / 1e6))
+        train_loader = DeviceBatchLoader(
+            dds, batch_size,
+            n_points=cfg["data"]["points_subsample"],
+            n_cloud=cfg["data"]["pointcloud_n"],
+        )
+    else:
+        train_loader = BatchLoader(
+            train_dataset, batch_size,
+            num_workers=cfg["training"]["n_workers"], shuffle=True,
+        )
     val_loader_fn = lambda: BatchLoader(
         val_dataset, 1, shuffle=False,
         num_workers=cfg["training"]["n_workers_val"],

@@ -174,18 +174,15 @@ class Trainer:
 
     # ------------------------------------------------------------------
     # initialization
-    def init_state(self, batch, rng=None):
-        """Initialize parameters by tracing every method this config uses
+    def _make_init_fn(self, arrays):
+        """Init function touching every method path this config uses
         (flax creates params on first use)."""
-        rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
-        arrays = self.prepare_batch(batch)
         model = self.model
 
         def init_fn(model):
             inputs = arrays["inputs"]
             if "inputs_index" in arrays:
                 inputs = {"points": inputs, "index": arrays["inputs_index"]}
-            B = arrays["inputs"].shape[0]
             if model.encoder is not None:
                 c = model.encode_inputs(inputs, train=False)
             else:
@@ -193,7 +190,7 @@ class Trainer:
             if model.encoder_hand is not None:
                 model.encode_hand_inputs(arrays["inputs"], train=False)
             if model.encoder_img is not None:
-                ci = model.encode_img_inputs(arrays["imgs"], train=False)
+                model.encode_img_inputs(arrays["imgs"], train=False)
             if model.encoder_t2d is not None:
                 model.encode_t2d(arrays["inputs"], arrays["imgs"], train=False)
             if model.decoder is not None:
@@ -211,7 +208,25 @@ class Trainer:
                 if self.with_contact:
                     model.decode_contact(p, c)
 
-        variables = jax.jit(lambda: model.init(rng, method=init_fn))()
+        return init_fn
+
+    def init_state(self, batch, rng=None):
+        """Initialize parameters by tracing every method this config uses."""
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
+        init_fn = self._make_init_fn(self.prepare_batch(batch))
+        variables = jax.jit(lambda: self.model.init(rng, method=init_fn))()
+        return self._state_from_variables(variables)
+
+    def init_state_abstract(self, batch, rng=None):
+        """Structure-only TrainState (zeros): for checkpoint restore, where
+        values are immediately overwritten — skips the init compile."""
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
+        init_fn = self._make_init_fn(self.prepare_batch(batch))
+        shapes = jax.eval_shape(lambda: self.model.init(rng, method=init_fn))
+        variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        return self._state_from_variables(variables)
+
+    def _state_from_variables(self, variables):
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         opt_state = self.optimizer.init(params)
@@ -244,9 +259,11 @@ class Trainer:
         if "inputs.img" in batch:
             a["imgs"] = jnp.asarray(batch["inputs.img"])
             a["depths"] = jnp.asarray(batch["inputs.depth"])
-            a["touch_success"] = jnp.asarray(
-                np.asarray(batch["inputs.touch_success"]) > 0.5
-            )
+            ts = batch["inputs.touch_success"]
+            if getattr(ts, "dtype", None) == jnp.bool_:
+                a["touch_success"] = jnp.asarray(ts)  # device batch: no host trip
+            else:
+                a["touch_success"] = jnp.asarray(np.asarray(ts) > 0.5)
         if "points_iou" in batch:
             a["points_iou"] = jnp.asarray(batch["points_iou"])
             a["occ_iou"] = jnp.asarray(batch["points_iou.occ"])
