@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--train-batch", type=int, default=3)
     ap.add_argument("--train-remat", action="store_true",
                     help="rematerialize activations (bigger train batches)")
+    ap.add_argument("--train-fused", type=int, default=0, metavar="K",
+                    help="with --train: also measure K steps fused into one "
+                         "dispatch over a device-resident dataset")
     ap.add_argument("--mise", action="store_true",
                     help="also measure 256^3 MISE multi-resolution extraction")
     ap.add_argument("--gating", default="contact",
@@ -302,6 +305,39 @@ def main():
             "train_compile_s": round(t_step_first, 1),
             "train_init_s": round(t_tinit, 1),
         }
+
+        if args.train_fused > 0:
+            from vtaco_tpu.data.device_data import DeviceBatchLoader, DeviceDataset
+
+            K = args.train_fused
+            dds = DeviceDataset(ds, pointcloud_noise=tcfg["data"]["pointcloud_noise"])
+            loader = DeviceBatchLoader(
+                dds, args.train_batch,
+                n_points=tcfg["data"]["points_subsample"],
+                n_cloud=tcfg["data"]["pointcloud_n"],
+            )
+            fused = trainer.make_fused_train_fn(
+                dds, loader.n_points, loader.n_cloud
+            )
+            t0 = time.time()
+            tstate, scal = fused(tstate, loader.next_key(),
+                                 jnp.asarray(loader.take_ids(K)))
+            _ = {k: np.asarray(v) for k, v in scal.items()}
+            t_fused_first = time.time() - t0
+            blocks = []
+            for _ in range(2):
+                t0 = time.time()
+                tstate, scal = fused(tstate, loader.next_key(),
+                                     jnp.asarray(loader.take_ids(K)))
+                _ = {k: np.asarray(v) for k, v in scal.items()}
+                blocks.append(time.time() - t0)
+            t_block = min(blocks)
+            train_detail.update(
+                train_fused_k=K,
+                train_fused_step_s=round(t_block / K, 4),
+                train_fused_steps_per_sec=round(K / t_block, 3),
+                train_fused_compile_s=round(t_fused_first, 1),
+            )
 
     result = {
         "metric": "occupancy_decode_pts_per_sec_per_chip",

@@ -1,0 +1,122 @@
+"""Device-resident dataset + fused multi-step dispatch tests (CPU)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vtaco_tpu.core.config import get_dataset, get_model, load_config
+from vtaco_tpu.data.device_data import DeviceBatchLoader, DeviceDataset
+from vtaco_tpu.data.synthetic import generate
+from vtaco_tpu.train.loop import build_mesh_bank
+from vtaco_tpu.train.trainer import Trainer
+
+from test_trainer import _small_cfg  # noqa: F401  (tiny-config helper)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth_dd")
+    root, mesh_root = generate(
+        str(out), n_models=6, n_query=500, n_surface=1000,
+        img_h=16, img_w=12, seed=3, splits=(("train", 1.0),),
+    )
+    return root, mesh_root
+
+
+@pytest.fixture(scope="module")
+def dds(synth):
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/VTacO/VTacO_YCB.yaml", root, mesh_root)
+    ds = get_dataset("train", cfg)
+    return cfg, DeviceDataset(ds, pointcloud_noise=cfg["data"]["pointcloud_noise"])
+
+
+def test_sampler_shapes_and_rng(dds):
+    cfg, d = dds
+    assert d.n_models == 6 and d.nbytes() > 0
+    rng = jax.random.PRNGKey(0)
+    b = d.sample_batch(rng, np.array([0, 3]), n_points=64, n_cloud=32)
+    assert b["points"].shape == (2, 64, 3)
+    assert b["points.occ"].shape == (2, 64)
+    assert b["inputs"].shape == (2, 32, 3)
+    assert b["inputs.img"].shape[:2] == (2, 5)
+    assert b["inputs.touch_success"].dtype == jnp.bool_
+    assert b["points.name"] == [d.names[0], d.names[3]]
+    # image scaling: legacy double-/255 keeps values in [0, 1/255]
+    assert float(jnp.max(b["inputs.img"])) <= 1 / 255 + 1e-6
+    # same key → identical batch; different key → different subsample
+    b2 = d.sample_batch(rng, np.array([0, 3]), n_points=64, n_cloud=32)
+    np.testing.assert_array_equal(b["points"], b2["points"])
+    b3 = d.sample_batch(jax.random.PRNGKey(1), np.array([0, 3]), 64, 32)
+    assert not np.array_equal(np.asarray(b["points"]), np.asarray(b3["points"]))
+
+
+def test_loader_epoch_and_id_stream(dds):
+    cfg, d = dds
+    loader = DeviceBatchLoader(d, batch_size=2, n_points=64, n_cloud=32, seed=0)
+    assert len(loader) == 3
+    batches = list(loader)
+    assert len(batches) == 3
+    ids = loader.take_ids(5)  # 10 ids: one full epoch (6) + 4 of the next
+    assert ids.shape == (5, 2) and ids.dtype == np.int32
+    assert sorted(ids.ravel()[:6].tolist()) == list(range(6))
+
+
+def test_fused_steps_match_sequential(dds):
+    """K steps in one scanned dispatch == K sequential jitted steps."""
+    cfg, d = dds
+    model, _ = get_model(cfg)
+    bank = build_mesh_bank(cfg)
+    tr = Trainer.from_config(model, cfg, mesh_bank=bank, contact_per_finger=16)
+    n_points, n_cloud = 64, 32
+
+    rng = jax.random.PRNGKey(7)
+    ids = np.array([[0, 1], [2, 3], [4, 5]], np.int32)
+    state0 = tr.init_state(d.sample_batch(rng, ids[0], n_points, n_cloud))
+
+    # sequential replay with the same per-step keys and ids (runs first:
+    # the fused call donates state0's buffers)
+    state_s = state0
+    keys = jax.random.split(rng, 3)
+    seq_losses = []
+    for i in range(3):
+        batch = d.sample_batch(keys[i], ids[i], n_points, n_cloud)
+        state_s, sc = tr.train_step(state_s, batch)
+        seq_losses.append(sc["loss"])
+
+    fused = tr.make_fused_train_fn(d, n_points, n_cloud)
+    state_f, scal_f = fused(state0, rng, jnp.asarray(ids))
+    assert all(v.shape == (3,) for v in scal_f.values())
+
+    # scan vs unrolled compile differ in fusion order → small float drift
+    np.testing.assert_allclose(
+        np.asarray(scal_f["loss"]), np.asarray(seq_losses), rtol=5e-4, atol=5e-5
+    )
+    assert int(state_f.step) == int(state_s.step) == 3
+    for a, b in zip(jax.tree.leaves(state_f.params), jax.tree.leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=5e-4)
+
+
+def test_fused_loop_end_to_end(tmp_path):
+    """train() in fused mode: cadences fire at the right iterations."""
+    from vtaco_tpu.train.loop import train
+
+    root, mesh_root = generate(
+        str(tmp_path / "data"), n_models=6, n_query=500, n_surface=1000,
+        img_h=16, img_w=12, seed=5,
+        splits=(("train", 0.7), ("val", 0.3)),
+    )
+    cfg = _small_cfg("configs/VTacO/VTacO_YCB.yaml", root, mesh_root)
+    cfg["data"]["on_device"] = True
+    cfg["training"].update(
+        out_dir=str(tmp_path), batch_size=2, steps_per_dispatch=4,
+        validate_every=0, visualize_every=0, checkpoint_every=5,
+        backup_every=0, print_every=2,
+    )
+    state, it = train(cfg, max_iters=7)
+    assert it == 7 and int(state.step) == 7
+    assert os.path.exists(os.path.join(str(tmp_path), "model.ckpt"))

@@ -180,8 +180,13 @@ def test_crop_mode_trains(synth):
     patch encoder/decoder → one train step."""
     root, mesh_root = synth
     cfg = load_config("configs/crop/scene_crop.yaml", "configs/default.yaml")
+    # query_vol_size 16 + a fixed seed: the crop center is drawn uniformly
+    # over the cloud's bbox (core.py:118 / reference core.py:185-232), and a
+    # tiny window can land on zero query points — such samples are dropped
+    # (reference parity), which on this 4-model set can empty the epoch.
+    np.random.seed(0)
     cfg["data"].update(path=root, points_subsample=128, pointcloud_n=128,
-                       query_vol_size=8)
+                       query_vol_size=16)
     cfg["model"]["encoder_kwargs"].update(hidden_dim=8)
     cfg["model"]["encoder_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
     cfg["model"]["encoder_kwargs"]["unet3d_kwargs"]["num_levels"] = 1

@@ -39,6 +39,10 @@ def main(argv=None):
     parser.add_argument("--on-device", action="store_true",
                         help="Keep the whole train split in HBM and "
                              "assemble/augment batches on device.")
+    parser.add_argument("--steps-per-dispatch", type=int, default=None,
+                        help="With --on-device: fuse K train steps into one "
+                             "XLA dispatch (lax.scan) to amortize dispatch "
+                             "latency.")
     args = parser.parse_args(argv)
 
     import jax
@@ -69,6 +73,8 @@ def main(argv=None):
         cfg["training"]["out_dir"] = args.out_dir
     if args.on_device:
         cfg["data"]["on_device"] = True
+    if args.steps_per_dispatch:
+        cfg["training"]["steps_per_dispatch"] = args.steps_per_dispatch
 
     out_dir = cfg["training"]["out_dir"]
     os.makedirs(out_dir, exist_ok=True)

@@ -164,3 +164,21 @@ class DeviceBatchLoader:
                 sub, order[i : i + self.batch_size],
                 self.n_points, self.n_cloud,
             )
+
+    # -- multi-step (fused dispatch) API ------------------------------
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def take_ids(self, k):
+        """(k, B) int32 model ids from an infinite shuffled epoch stream
+        (blocks may span epoch boundaries; partial epoch tails are kept)."""
+        need = k * self.batch_size
+        buf = getattr(self, "_id_buf", np.empty(0, np.int64))
+        while buf.size < need:
+            order = np.arange(self.ds.n_models)
+            if self.shuffle:
+                self.host_rng.shuffle(order)
+            buf = np.concatenate([buf, order])
+        self._id_buf = buf[need:]
+        return buf[:need].reshape(k, self.batch_size).astype(np.int32)

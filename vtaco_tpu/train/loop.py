@@ -177,66 +177,112 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
 
     t0 = time.time()
     stop = False
-    while not stop:
-        epoch_it += 1
-        for batch in train_loader:
-            it += 1
-            profiler.maybe_start(it)
-            state, scalars = trainer.train_step(state, batch)
-            profiler.maybe_stop(it)
-            timer.tick()
-            for k, v in scalars.items():
-                logger.add_scalar(f"train/{k}", v, it)
 
-            if print_every > 0 and it % print_every == 0:
-                msg = ", ".join(f"{k}={v:.4f}" for k, v in scalars.items())
-                print(
-                    "[Epoch %02d] it=%03d, %s, %.2f it/s, time: %.2fs"
-                    % (epoch_it, it, msg, timer.steps_per_sec, time.time() - t0)
-                )
+    def post_step(it, scalars, state):
+        """Everything after one optimization step: logging + the cadence
+        triggers (print / validate / checkpoint / backup / visualize /
+        exit-after / max-iters). Shared by the per-step and fused paths."""
+        nonlocal metric_val_best, stop
+        timer.tick()
+        for k, v in scalars.items():
+            logger.add_scalar(f"train/{k}", v, it)
 
-            if validate_every > 0 and it % validate_every == 0:
-                eval_dict = trainer.evaluate(state, val_loader_fn())
-                metric_val = eval_dict[metric]
-                print("Validation metric (%s): %.4f" % (metric, metric_val))
-                for k, v in eval_dict.items():
-                    logger.add_scalar(f"val/{k}", v, it)
-                if sign * (metric_val - metric_val_best) > 0:
-                    metric_val_best = metric_val
-                    print("New best model (%s %.4f)" % (metric, metric_val_best))
-                    ckpt.register_modules(state=state)
-                    ckpt.save("model_best.ckpt", epoch_it=epoch_it, it=it,
-                              loss_val_best=metric_val_best)
+        if print_every > 0 and it % print_every == 0:
+            msg = ", ".join(f"{k}={v:.4f}" for k, v in scalars.items())
+            print(
+                "[Epoch %02d] it=%03d, %s, %.2f it/s, time: %.2fs"
+                % (epoch_it, it, msg, timer.steps_per_sec, time.time() - t0)
+            )
 
-            if checkpoint_every > 0 and it % checkpoint_every == 0:
-                print("Saving checkpoint at iteration: %d" % it)
+        if validate_every > 0 and it % validate_every == 0:
+            eval_dict = trainer.evaluate(state, val_loader_fn())
+            metric_val = eval_dict[metric]
+            print("Validation metric (%s): %.4f" % (metric, metric_val))
+            for k, v in eval_dict.items():
+                logger.add_scalar(f"val/{k}", v, it)
+            if sign * (metric_val - metric_val_best) > 0:
+                metric_val_best = metric_val
+                print("New best model (%s %.4f)" % (metric, metric_val_best))
                 ckpt.register_modules(state=state)
-                ckpt.save_async("model.ckpt", epoch_it=epoch_it, it=it,
-                                loss_val_best=metric_val_best)
-
-            if backup_every > 0 and it % backup_every == 0:
-                print("Backup checkpoint at iteration: %d" % it)
-                ckpt.register_modules(state=state)
-                ckpt.save_async("model_%d.ckpt" % it, epoch_it=epoch_it,
-                                it=it, loss_val_best=metric_val_best)
-
-            if generator is not None and visualize_every > 0 and it % visualize_every == 0:
-                try:
-                    generator.visualize(state, val_loader_fn(), out_dir, it)
-                except Exception as e:  # visualization must not kill training
-                    print("visualize failed:", e)
-
-            if exit_after > 0 and (time.time() - t0) >= exit_after:
-                print("Time limit reached. Exiting.")
-                ckpt.wait()
-                ckpt.register_modules(state=state)
-                ckpt.save("model.ckpt", epoch_it=epoch_it, it=it,
+                ckpt.save("model_best.ckpt", epoch_it=epoch_it, it=it,
                           loss_val_best=metric_val_best)
-                raise SystemExit(3)
 
-            if max_iters is not None and it >= max_iters:
-                stop = True
-                break
+        if checkpoint_every > 0 and it % checkpoint_every == 0:
+            print("Saving checkpoint at iteration: %d" % it)
+            ckpt.register_modules(state=state)
+            ckpt.save_async("model.ckpt", epoch_it=epoch_it, it=it,
+                            loss_val_best=metric_val_best)
+
+        if backup_every > 0 and it % backup_every == 0:
+            print("Backup checkpoint at iteration: %d" % it)
+            ckpt.register_modules(state=state)
+            ckpt.save_async("model_%d.ckpt" % it, epoch_it=epoch_it,
+                            it=it, loss_val_best=metric_val_best)
+
+        if generator is not None and visualize_every > 0 and it % visualize_every == 0:
+            try:
+                generator.visualize(state, val_loader_fn(), out_dir, it)
+            except Exception as e:  # visualization must not kill training
+                print("visualize failed:", e)
+
+        if exit_after > 0 and (time.time() - t0) >= exit_after:
+            print("Time limit reached. Exiting.")
+            ckpt.wait()
+            ckpt.register_modules(state=state)
+            ckpt.save("model.ckpt", epoch_it=epoch_it, it=it,
+                      loss_val_best=metric_val_best)
+            raise SystemExit(3)
+
+        if max_iters is not None and it >= max_iters:
+            stop = True
+
+    fused_k = int(cfg["training"].get("steps_per_dispatch", 1) or 1)
+    if cfg["data"].get("on_device") and fused_k > 1:
+        # Fused mode: K train steps per XLA dispatch (lax.scan over
+        # device-assembled batches). Blocks are split so state-dependent
+        # cadences still fire at exactly their iteration; the remainder
+        # runs through a length-1 variant (only two compiled programs).
+        fused = trainer.make_fused_train_fn(
+            train_loader.ds, train_loader.n_points, train_loader.n_cloud
+        )
+        steps_per_epoch = max(1, train_loader.ds.n_models // batch_size)
+
+        def dist_to_cadence(it):
+            ds_ = [fused_k]
+            for c in (validate_every, checkpoint_every, backup_every,
+                      visualize_every):
+                if c and c > 0:
+                    ds_.append(c - it % c)
+            if max_iters is not None:
+                ds_.append(max_iters - it)
+            return max(1, min(ds_))
+
+        while not stop:
+            d = dist_to_cadence(it)
+            k = fused_k if d >= fused_k else 1
+            ids = train_loader.take_ids(k)
+            profiler.maybe_start(it + 1)
+            state, scal = fused(state, train_loader.next_key(), ids)
+            scal = {k2: np.asarray(v) for k2, v in scal.items()}
+            profiler.maybe_stop(it + 1)
+            for j in range(k):
+                it += 1
+                epoch_it = 1 + (it - 1) // steps_per_epoch
+                post_step(it, {k2: float(v[j]) for k2, v in scal.items()},
+                          state)
+                if stop:
+                    break
+    else:
+        while not stop:
+            epoch_it += 1
+            for batch in train_loader:
+                it += 1
+                profiler.maybe_start(it)
+                state, scalars = trainer.train_step(state, batch)
+                profiler.maybe_stop(it)
+                post_step(it, scalars, state)
+                if stop:
+                    break
     ckpt.wait()
     ckpt.register_modules(state=state)
     ckpt.save("model.ckpt", epoch_it=epoch_it, it=it,

@@ -506,6 +506,70 @@ class Trainer:
         return state, {k: float(v) for k, v in scalars.items()}
 
     # ------------------------------------------------------------------
+    def make_fused_train_fn(self, device_dataset, n_points, n_cloud):
+        """K optimization steps in ONE XLA dispatch (device-resident data).
+
+        Returns a jitted ``fn(state, rng, ids (K, B) int32) -> (state,
+        {scalar: (K,)})`` that lax.scans over K steps: each iteration
+        gathers + augments its batch from the DeviceDataset *on device*
+        (including the padded GT meshes for the winding-number labels) and
+        runs the full train step. Host↔device traffic per K steps is one
+        PRNG key, K·B int32 ids, and the stacked scalars — amortizing
+        dispatch latency (the dominant cost through a remote/tunneled
+        device, and non-trivial even locally at small step times).
+
+        K is baked per compiled variant (one retrace per distinct K; the
+        train loop only uses K and 1).
+        """
+        dds = device_dataset
+        bank_ids = None
+        if self.mesh_bank is not None:
+            bank_ids = jnp.asarray(self.mesh_bank.ids_for(dds.names), jnp.int32)
+        mesh = self.device_mesh
+        key_map = {
+            "points": "points", "occ": "points.occ",
+            "contact": "points.contact", "pc_hand": "points.pc_hand",
+            "mano": "points.mano", "wrist": "points.wrist",
+            "cam_pos": "points.cam_pos", "cam_rot": "points.cam_rot",
+            "inputs": "inputs", "pc_ply": "inputs.pc_ply",
+            "imgs": "inputs.img", "depths": "inputs.depth",
+            "touch_success": "inputs.touch_success",
+        }
+
+        def one_step(st, key, ids):
+            batch = dds._sample(key, ids, n_points, n_cloud)
+            a = {k: batch[src] for k, src in key_map.items() if src in batch}
+            if bank_ids is not None:
+                bids = bank_ids[ids]
+                a["mesh_verts"] = self.mesh_bank.verts[bids]
+                a["mesh_faces"] = self.mesh_bank.faces[bids]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                n_data = mesh.shape["data"]
+                sh = NamedSharding(mesh, P("data"))
+
+                def constrain(v):
+                    if v.shape[0] % n_data == 0:
+                        return jax.lax.with_sharding_constraint(v, sh)
+                    return v
+
+                a = jax.tree.map(constrain, a)
+            return self._train_step(st, a)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state, rng, ids_block):
+            keys = jax.random.split(rng, ids_block.shape[0])
+
+            def body(st, xs):
+                key, ids = xs
+                return one_step(st, key, ids)
+
+            return jax.lax.scan(body, state, (keys, ids_block))
+
+        return run
+
+    # ------------------------------------------------------------------
     def _eval_step(self, state: TrainState, a):
         """Mirrors eval_step (training.py:105-452) for the configured path."""
         rng = jax.random.fold_in(state.rng, 12345)
