@@ -1,10 +1,18 @@
 """Native C++ host extensions.
 
-Self-building: on first import the extension compiles with g++ into the
-package directory (no pip/pybind11 dependency — plain C ABI + ctypes).
-Delete the ``.so`` to force a rebuild. The marching-cubes tables header is
+Self-building: each extension compiles with g++ into the package directory
+on first use (no pip/pybind11 dependency — plain C ABI + ctypes). Delete
+the ``.so`` to force a rebuild. The marching-cubes tables header is
 generated from vtaco_tpu.generate.mc_tables so the C++ and numpy
 implementations share one source of truth.
+
+Extensions:
+  mc   — marching cubes (mc.cpp): replaces skimage.measure.marching_cubes
+         (reference call sites: generation.py:270, inferencing.py:174,316).
+  geom — KD-tree NN / exact winding numbers / OFF-OBJ reader (geom.cpp):
+         replaces pykdtree (common.py:94-140), libigl winding numbers
+         (training.py:723) and igl.read_triangle_mesh (train.py:170) on
+         the host side.
 """
 
 from __future__ import annotations
@@ -14,12 +22,9 @@ import os
 import subprocess
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libvtaco_mc.so")
-_SRC = os.path.join(_DIR, "mc.cpp")
-_HDR = os.path.join(_DIR, "mc_tables.h")
 
 
-def _generate_tables_header():
+def _generate_tables_header(hdr):
     from vtaco_tpu.generate.mc_tables import TRI_TABLE
 
     lines = [
@@ -31,40 +36,25 @@ def _generate_tables_header():
     for row in TRI_TABLE:
         lines.append("  {" + ", ".join(str(int(v)) for v in row) + "},")
     lines.append("};")
-    with open(_HDR, "w") as f:
+    with open(hdr, "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
-def _build():
-    _generate_tables_header()
-    cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _SO,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
+def _build_and_load(name, pre_build=None):
+    src = os.path.join(_DIR, f"{name}.cpp")
+    so = os.path.join(_DIR, f"libvtaco_{name}.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        if pre_build:
+            pre_build()
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+             "-fPIC", src, "-o", so],
+            check=True, capture_output=True,
+        )
+    return ctypes.CDLL(so)
 
 
-def _load():
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        _build()
-    lib = ctypes.CDLL(_SO)
-    lib.vtaco_mc_run.restype = ctypes.c_void_p
-    lib.vtaco_mc_run.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_float,
-    ]
-    lib.vtaco_mc_num_verts.restype = ctypes.c_int64
-    lib.vtaco_mc_num_verts.argtypes = [ctypes.c_void_p]
-    lib.vtaco_mc_num_faces.restype = ctypes.c_int64
-    lib.vtaco_mc_num_faces.argtypes = [ctypes.c_void_p]
-    lib.vtaco_mc_copy.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int32),
-    ]
-    lib.vtaco_mc_free.argtypes = [ctypes.c_void_p]
-    return lib
-
-
+# ---------------------------------------------------------------------------
 class _MC:
     """ctypes facade exposing ``marching_cubes(volume, level)``."""
 
@@ -73,7 +63,27 @@ class _MC:
 
     def _ensure(self):
         if self._lib is None:
-            self._lib = _load()
+            lib = _build_and_load(
+                "mc",
+                pre_build=lambda: _generate_tables_header(
+                    os.path.join(_DIR, "mc_tables.h")
+                ),
+            )
+            lib.vtaco_mc_run.restype = ctypes.c_void_p
+            lib.vtaco_mc_run.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_float,
+            ]
+            lib.vtaco_mc_num_verts.restype = ctypes.c_int64
+            lib.vtaco_mc_num_verts.argtypes = [ctypes.c_void_p]
+            lib.vtaco_mc_num_faces.restype = ctypes.c_int64
+            lib.vtaco_mc_num_faces.argtypes = [ctypes.c_void_p]
+            lib.vtaco_mc_copy.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.vtaco_mc_free.argtypes = [ctypes.c_void_p]
+            self._lib = lib
         return self._lib
 
     def marching_cubes(self, volume, level):
@@ -103,3 +113,101 @@ class _MC:
 
 
 mc = _MC()
+
+
+# ---------------------------------------------------------------------------
+class _Geom:
+    """ctypes facade: KD-tree NN, winding numbers, mesh reading."""
+
+    def __init__(self):
+        self._lib = None
+
+    def _ensure(self):
+        if self._lib is None:
+            c_f = ctypes.POINTER(ctypes.c_float)
+            c_i = ctypes.POINTER(ctypes.c_int32)
+            lib = _build_and_load("geom")
+            lib.vtaco_kdtree_build.restype = ctypes.c_void_p
+            lib.vtaco_kdtree_build.argtypes = [c_f, ctypes.c_int64]
+            lib.vtaco_kdtree_query.argtypes = [
+                ctypes.c_void_p, c_f, ctypes.c_int64, c_f, c_i,
+            ]
+            lib.vtaco_kdtree_free.argtypes = [ctypes.c_void_p]
+            lib.vtaco_winding.argtypes = [
+                c_f, ctypes.c_int64, c_i, ctypes.c_int64, c_f,
+                ctypes.c_int64, c_f,
+            ]
+            lib.vtaco_read_mesh.restype = ctypes.c_void_p
+            lib.vtaco_read_mesh.argtypes = [ctypes.c_char_p]
+            lib.vtaco_mesh_num_verts.restype = ctypes.c_int64
+            lib.vtaco_mesh_num_verts.argtypes = [ctypes.c_void_p]
+            lib.vtaco_mesh_num_faces.restype = ctypes.c_int64
+            lib.vtaco_mesh_num_faces.argtypes = [ctypes.c_void_p]
+            lib.vtaco_mesh_copy.argtypes = [ctypes.c_void_p, c_f, c_i]
+            lib.vtaco_mesh_free.argtypes = [ctypes.c_void_p]
+            self._lib = lib
+        return self._lib
+
+    def nearest(self, points, queries):
+        """NN of each query in points: (M,) squared dists, (M,) indices."""
+        import numpy as np
+
+        lib = self._ensure()
+        pts = np.ascontiguousarray(points, np.float32)
+        q = np.ascontiguousarray(queries, np.float32)
+        tree = lib.vtaco_kdtree_build(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(pts)
+        )
+        try:
+            d2 = np.empty(len(q), np.float32)
+            idx = np.empty(len(q), np.int32)
+            lib.vtaco_kdtree_query(
+                tree, q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                len(q), d2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+        finally:
+            lib.vtaco_kdtree_free(tree)
+        return d2, idx
+
+    def winding_number(self, verts, faces, points):
+        """Exact generalized winding numbers, (P,) float32 on host."""
+        import numpy as np
+
+        lib = self._ensure()
+        v = np.ascontiguousarray(verts, np.float32)
+        f = np.ascontiguousarray(faces, np.int32)
+        p = np.ascontiguousarray(points, np.float32)
+        out = np.empty(len(p), np.float32)
+        lib.vtaco_winding(
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(v),
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(f),
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(p),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+
+    def read_triangle_mesh(self, path):
+        """(V, 3) float32 verts, (F, 3) int32 faces from .off/.obj."""
+        import numpy as np
+
+        lib = self._ensure()
+        handle = lib.vtaco_read_mesh(os.fsencode(path))
+        if not handle:
+            raise FileNotFoundError(path)
+        try:
+            nv = lib.vtaco_mesh_num_verts(handle)
+            nf = lib.vtaco_mesh_num_faces(handle)
+            verts = np.empty((nv, 3), np.float32)
+            faces = np.empty((nf, 3), np.int32)
+            lib.vtaco_mesh_copy(
+                handle,
+                verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+        finally:
+            lib.vtaco_mesh_free(handle)
+        return verts, faces
+
+
+geom = _Geom()

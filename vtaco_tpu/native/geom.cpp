@@ -1,0 +1,258 @@
+// Host geometry extension: KD-tree nearest neighbor, exact generalized
+// winding numbers, OFF/OBJ mesh reading.
+//
+// TPU-native replacements for the reference's native host dependencies
+// (SURVEY.md §2.9): pykdtree (chamfer KD-tree, src/common.py:94-140),
+// libigl fast_winding_number_for_meshes (occupancy labels,
+// src/conv_onet/training.py:723) and igl.read_triangle_mesh
+// (train.py:170). The hot-path winding numbers run ON DEVICE
+// (vtaco_tpu/ops/winding.py); this host version serves input-pipeline
+// precompute and host-side verification. C ABI for ctypes.
+//
+// Build: g++ -O3 -march=native -std=c++17 -shared -fPIC geom.cpp -o libvtaco_geom.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// KD-tree (3D), median-split over an index permutation.
+
+struct KDTree {
+  std::vector<float> pts;   // n*3 (caller order)
+  std::vector<int32_t> id;  // permutation arranged as an implicit tree
+  int64_t n = 0;
+};
+
+void kd_build(KDTree& kd, int64_t lo, int64_t hi, int depth) {
+  if (hi - lo <= 1) return;
+  int64_t mid = (lo + hi) / 2;
+  int ax = depth % 3;
+  std::nth_element(
+      kd.id.begin() + lo, kd.id.begin() + mid, kd.id.begin() + hi,
+      [&](int32_t a, int32_t b) { return kd.pts[3 * a + ax] < kd.pts[3 * b + ax]; });
+  kd_build(kd, lo, mid, depth + 1);
+  kd_build(kd, mid + 1, hi, depth + 1);
+}
+
+inline float dist2(const float* a, const float* b) {
+  float dx = a[0] - b[0], dy = a[1] - b[1], dz = a[2] - b[2];
+  return dx * dx + dy * dy + dz * dz;
+}
+
+void kd_query(const KDTree& kd, const float* q, int64_t lo, int64_t hi,
+              int depth, float& best_d2, int32_t& best_i) {
+  if (lo >= hi) return;
+  int64_t mid = (lo + hi) / 2;
+  const float* p = &kd.pts[3 * kd.id[mid]];
+  float d2 = dist2(p, q);
+  if (d2 < best_d2) {
+    best_d2 = d2;
+    best_i = kd.id[mid];
+  }
+  int ax = depth % 3;
+  float diff = q[ax] - p[ax];
+  if (diff < 0) {
+    kd_query(kd, q, lo, mid, depth + 1, best_d2, best_i);
+    if (diff * diff < best_d2)
+      kd_query(kd, q, mid + 1, hi, depth + 1, best_d2, best_i);
+  } else {
+    kd_query(kd, q, mid + 1, hi, depth + 1, best_d2, best_i);
+    if (diff * diff < best_d2)
+      kd_query(kd, q, lo, mid, depth + 1, best_d2, best_i);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Mesh container for the reader.
+
+struct Mesh {
+  std::vector<float> verts;
+  std::vector<int32_t> faces;
+};
+
+}  // namespace
+
+extern "C" {
+
+// --- KD-tree ---------------------------------------------------------------
+
+void* vtaco_kdtree_build(const float* pts, int64_t n) {
+  auto* kd = new KDTree();
+  kd->n = n;
+  kd->pts.assign(pts, pts + 3 * n);
+  kd->id.resize(n);
+  for (int64_t i = 0; i < n; ++i) kd->id[i] = static_cast<int32_t>(i);
+  kd_build(*kd, 0, n, 0);
+  return kd;
+}
+
+// Nearest neighbor for each of m queries: squared distance + index.
+void vtaco_kdtree_query(void* handle, const float* q, int64_t m,
+                        float* out_d2, int32_t* out_idx) {
+  auto* kd = static_cast<KDTree*>(handle);
+  for (int64_t i = 0; i < m; ++i) {
+    float best_d2 = INFINITY;
+    int32_t best_i = -1;
+    kd_query(*kd, q + 3 * i, 0, kd->n, 0, best_d2, best_i);
+    out_d2[i] = best_d2;
+    out_idx[i] = best_i;
+  }
+}
+
+void vtaco_kdtree_free(void* handle) { delete static_cast<KDTree*>(handle); }
+
+// --- Exact generalized winding numbers --------------------------------------
+// Van Oosterom & Strackee triangle solid angles, double accumulation.
+// Matches vtaco_tpu/ops/winding.py (≈1 inside, ≈0 outside; igl convention).
+
+void vtaco_winding(const float* verts, int64_t nv, const int32_t* faces,
+                   int64_t nf, const float* q, int64_t nq, float* out) {
+  (void)nv;
+  for (int64_t p = 0; p < nq; ++p) {
+    const double qx = q[3 * p], qy = q[3 * p + 1], qz = q[3 * p + 2];
+    double acc = 0.0;
+    for (int64_t f = 0; f < nf; ++f) {
+      const float* v0 = verts + 3 * faces[3 * f];
+      const float* v1 = verts + 3 * faces[3 * f + 1];
+      const float* v2 = verts + 3 * faces[3 * f + 2];
+      const double ax = v0[0] - qx, ay = v0[1] - qy, az = v0[2] - qz;
+      const double bx = v1[0] - qx, by = v1[1] - qy, bz = v1[2] - qz;
+      const double cx = v2[0] - qx, cy = v2[1] - qy, cz = v2[2] - qz;
+      const double la = std::sqrt(ax * ax + ay * ay + az * az);
+      const double lb = std::sqrt(bx * bx + by * by + bz * bz);
+      const double lc = std::sqrt(cx * cx + cy * cy + cz * cz);
+      const double det = ax * (by * cz - bz * cy) + ay * (bz * cx - bx * cz) +
+                         az * (bx * cy - by * cx);
+      const double denom = la * lb * lc + (ax * bx + ay * by + az * bz) * lc +
+                           (bx * cx + by * cy + bz * cz) * la +
+                           (cx * ax + cy * ay + cz * az) * lb;
+      acc += 2.0 * std::atan2(det, denom);
+    }
+    out[p] = static_cast<float>(acc / (4.0 * M_PI));
+  }
+}
+
+// --- OFF/OBJ triangle-mesh reader -------------------------------------------
+
+void* vtaco_read_mesh(const char* path) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return nullptr;
+  std::fseek(fp, 0, SEEK_END);
+  long size = std::ftell(fp);
+  std::fseek(fp, 0, SEEK_SET);
+  std::string buf(size, '\0');
+  if (std::fread(&buf[0], 1, size, fp) != static_cast<size_t>(size)) {
+    std::fclose(fp);
+    return nullptr;
+  }
+  std::fclose(fp);
+
+  auto* mesh = new Mesh();
+  const char* s = buf.c_str();
+  const char* end = s + buf.size();
+
+  auto skip_ws_comments = [&](const char* p) {
+    for (;;) {
+      while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
+        ++p;
+      if (p < end && *p == '#') {
+        while (p < end && *p != '\n') ++p;
+        continue;
+      }
+      return p;
+    }
+  };
+
+  const char* p = skip_ws_comments(s);
+  bool is_off = (end - p >= 3 && std::strncmp(p, "OFF", 3) == 0);
+
+  if (is_off) {
+    p += 3;
+    char* next = nullptr;
+    p = skip_ws_comments(p);
+    long nv = std::strtol(p, &next, 10);
+    p = skip_ws_comments(next);
+    long nf = std::strtol(p, &next, 10);
+    p = skip_ws_comments(next);
+    std::strtol(p, &next, 10);  // edge count, ignored
+    p = next;
+    mesh->verts.reserve(3 * nv);
+    for (long i = 0; i < 3 * nv; ++i) {
+      mesh->verts.push_back(std::strtof(p, &next));
+      p = next;
+    }
+    mesh->faces.reserve(3 * nf);
+    for (long i = 0; i < nf; ++i) {
+      p = skip_ws_comments(p);
+      long k = std::strtol(p, &next, 10);  // verts per face
+      p = next;
+      std::vector<long> poly(k);
+      for (long j = 0; j < k; ++j) {
+        poly[j] = std::strtol(p, &next, 10);
+        p = next;
+      }
+      for (long j = 2; j < k; ++j) {  // fan-triangulate
+        mesh->faces.push_back(static_cast<int32_t>(poly[0]));
+        mesh->faces.push_back(static_cast<int32_t>(poly[j - 1]));
+        mesh->faces.push_back(static_cast<int32_t>(poly[j]));
+      }
+    }
+  } else {
+    // OBJ: v / f lines; f indices may be v, v/t, v/t/n, v//n and negative.
+    while (p < end) {
+      const char* line_end = p;
+      while (line_end < end && *line_end != '\n') ++line_end;
+      if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
+        char* next = nullptr;
+        const char* c = p + 1;
+        for (int i = 0; i < 3; ++i) {
+          mesh->verts.push_back(std::strtof(c, &next));
+          c = next;
+        }
+      } else if (p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
+        std::vector<long> poly;
+        const char* c = p + 1;
+        while (c < line_end) {
+          while (c < line_end && (*c == ' ' || *c == '\t')) ++c;
+          if (c >= line_end) break;
+          char* next = nullptr;
+          long v = std::strtol(c, &next, 10);
+          if (next == c) break;
+          c = next;
+          while (c < line_end && *c != ' ' && *c != '\t') ++c;  // skip /t/n
+          long nvs = static_cast<long>(mesh->verts.size() / 3);
+          poly.push_back(v > 0 ? v - 1 : nvs + v);  // 1-based / negative
+        }
+        for (size_t j = 2; j < poly.size(); ++j) {
+          mesh->faces.push_back(static_cast<int32_t>(poly[0]));
+          mesh->faces.push_back(static_cast<int32_t>(poly[j - 1]));
+          mesh->faces.push_back(static_cast<int32_t>(poly[j]));
+        }
+      }
+      p = line_end + 1;
+    }
+  }
+  return mesh;
+}
+
+int64_t vtaco_mesh_num_verts(void* handle) {
+  return static_cast<Mesh*>(handle)->verts.size() / 3;
+}
+int64_t vtaco_mesh_num_faces(void* handle) {
+  return static_cast<Mesh*>(handle)->faces.size() / 3;
+}
+void vtaco_mesh_copy(void* handle, float* verts_out, int32_t* faces_out) {
+  auto* m = static_cast<Mesh*>(handle);
+  std::memcpy(verts_out, m->verts.data(), m->verts.size() * sizeof(float));
+  std::memcpy(faces_out, m->faces.data(), m->faces.size() * sizeof(int32_t));
+}
+void vtaco_mesh_free(void* handle) { delete static_cast<Mesh*>(handle); }
+
+}  // extern "C"

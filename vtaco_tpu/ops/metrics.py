@@ -58,11 +58,23 @@ def chamfer_distance(points1, points2, use_kdtree=False, give_id=False):
     return chamfer1 + chamfer2
 
 
-def chamfer_distance_kdtree(points1, points2, give_id=False):
-    """Host KD-tree chamfer (scipy cKDTree replaces the reference's
-    pykdtree, src/common.py:94-140)."""
-    from scipy.spatial import cKDTree
+def _nearest_host(points, queries):
+    """(M,) squared NN distances + indices of queries in points — the C++
+    KD-tree (native/geom.cpp, replacing pykdtree) with scipy fallback."""
+    try:
+        from vtaco_tpu.native import geom
 
+        return geom.nearest(points, queries)
+    except Exception:
+        from scipy.spatial import cKDTree
+
+        d, i = cKDTree(points).query(queries)
+        return d**2, i
+
+
+def chamfer_distance_kdtree(points1, points2, give_id=False):
+    """Host KD-tree chamfer (C++ KD-tree replaces the reference's
+    pykdtree, src/common.py:94-140)."""
     p1 = np.asarray(points1)
     p2 = np.asarray(points2)
     B = p1.shape[0]
@@ -70,12 +82,10 @@ def chamfer_distance_kdtree(points1, points2, give_id=False):
     c2 = np.zeros(B)
     idx12, idx21 = [], []
     for b in range(B):
-        t2 = cKDTree(p2[b])
-        d12, i12 = t2.query(p1[b])
-        t1 = cKDTree(p1[b])
-        d21, i21 = t1.query(p2[b])
-        c1[b] = np.mean(d12**2)
-        c2[b] = np.mean(d21**2)
+        d12, i12 = _nearest_host(p2[b], p1[b])
+        d21, i21 = _nearest_host(p1[b], p2[b])
+        c1[b] = np.mean(d12)
+        c2[b] = np.mean(d21)
         idx12.append(i12)
         idx21.append(i21)
     chamfer = c1 + c2

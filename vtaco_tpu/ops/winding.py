@@ -83,6 +83,16 @@ def winding_number_batch(verts, faces, points, face_chunk: int = 4096):
     )
 
 
+def winding_number_host(verts, faces, points):
+    """C++ host variant (native/geom.cpp) for input-pipeline label
+    precompute — same solid-angle formula as the device version, no device
+    round-trip, double accumulation. Drop-in for the reference's
+    ``igl.fast_winding_number_for_meshes`` call sites (training.py:723)."""
+    from vtaco_tpu.native import geom
+
+    return geom.winding_number(verts, faces, points)
+
+
 def pad_mesh(verts: np.ndarray, faces: np.ndarray, v_max: int, f_max: int):
     """Host-side: pad a mesh to fixed (v_max, f_max) for jittable batching.
 

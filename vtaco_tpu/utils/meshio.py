@@ -8,6 +8,7 @@ trimesh export (generation.py:273) and plyfile writer
 from __future__ import annotations
 
 import os
+import subprocess
 
 import numpy as np
 
@@ -71,9 +72,21 @@ def write_obj(path, verts, faces):
             f.write("f %d %d %d\n" % (face[0] + 1, face[1] + 1, face[2] + 1))
 
 
-def read_triangle_mesh(path):
-    """Dispatch by extension (igl.read_triangle_mesh equivalent)."""
+def read_triangle_mesh(path, native=True):
+    """Dispatch by extension (igl.read_triangle_mesh equivalent).
+
+    OFF/OBJ go through the C++ parser (vtaco_tpu/native/geom.cpp — the
+    mesh-bank load of a big capture is parse-bound) with this module's pure
+    Python readers as fallback.
+    """
     ext = os.path.splitext(path)[1].lower()
+    if native and ext in (".off", ".obj"):
+        try:
+            from vtaco_tpu.native import geom
+
+            return geom.read_triangle_mesh(path)
+        except (OSError, subprocess.SubprocessError):
+            pass  # no compiler / build failure → Python readers
     if ext == ".off":
         return read_off(path)
     if ext == ".obj":
