@@ -108,3 +108,16 @@ def test_dp_training_with_eval(rng):
         vb = next(iter(BatchLoader(val, 1, shuffle=False, num_workers=1)))
         ev = tr.eval_step(state, vb)  # B=1 → replicated, must not crash
         assert "iou" in ev
+
+        # fused multi-step dispatch under the same DP mesh: the scanned
+        # program shards each on-device batch over the 'data' axis
+        from vtaco_tpu.data.device_data import DeviceDataset
+        from vtaco_tpu.parallel.mesh import replicate
+
+        dds = DeviceDataset(ds, pointcloud_noise=cfg["data"]["pointcloud_noise"])
+        fused = tr.make_fused_train_fn(dds, n_points=128, n_cloud=64)
+        state = replicate(mesh, state)
+        ids = np.array([[0, 1], [1, 0]], np.int32)
+        state, scal = fused(state, jax.random.PRNGKey(3), jnp.asarray(ids))
+        assert all(np.isfinite(np.asarray(v)).all() for v in scal.values())
+        assert int(state.step) == 3  # 1 earlier train_step + 2 fused
