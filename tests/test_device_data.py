@@ -114,9 +114,33 @@ def test_fused_loop_end_to_end(tmp_path):
     cfg["data"]["on_device"] = True
     cfg["training"].update(
         out_dir=str(tmp_path), batch_size=2, steps_per_dispatch=4,
-        validate_every=0, visualize_every=0, checkpoint_every=5,
+        validate_every=4, visualize_every=0, checkpoint_every=5,
         backup_every=0, print_every=2,
     )
     state, it = train(cfg, max_iters=7)
     assert it == 7 and int(state.step) == 7
     assert os.path.exists(os.path.join(str(tmp_path), "model.ckpt"))
+    # fused (device-resident) validation ran and selected a best model
+    assert os.path.exists(os.path.join(str(tmp_path), "model_best.ckpt"))
+    import json
+
+    vals = [json.loads(l) for l in
+            open(os.path.join(str(tmp_path), "logs", "metrics.jsonl"))]
+    assert any(v["tag"] == "val/iou" and v["it"] == 4 for v in vals)
+
+
+def test_fused_eval_fn(dds):
+    cfg, d = dds
+    model, _ = get_model(cfg)
+    bank = build_mesh_bank(cfg)
+    tr = Trainer.from_config(model, cfg, mesh_bank=bank, contact_per_finger=16)
+    state = tr.init_state(
+        d.sample_batch(jax.random.PRNGKey(0), np.array([0, 1]), 64, 32)
+    )
+    eval_fn = tr.make_fused_eval_fn(d, n_points=64, n_cloud=32)
+    out = tr.evaluate_device(state, eval_fn, d.n_models)
+    assert {"loss", "iou"} <= set(out)
+    assert 0.0 <= out["iou"] <= 1.0 and np.isfinite(out["loss"])
+    # deterministic: same state → identical metrics
+    out2 = tr.evaluate_device(state, eval_fn, d.n_models)
+    assert out == out2

@@ -82,6 +82,7 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
 
     train_dataset = get_dataset("train", cfg)
     val_dataset = get_dataset("val", cfg, return_idx=True)
+    val_dds = None
     if cfg["data"].get("on_device"):
         # whole split resident in HBM; batches assembled + augmented on
         # device (see vtaco_tpu.data.device_data)
@@ -97,6 +98,9 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
             dds, batch_size,
             n_points=cfg["data"]["points_subsample"],
             n_cloud=cfg["data"]["pointcloud_n"],
+        )
+        val_dds = DeviceDataset(
+            val_dataset, pointcloud_noise=cfg["data"]["pointcloud_noise"]
         )
     else:
         train_loader = BatchLoader(
@@ -175,6 +179,14 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
     profiler = ProfiledRegion(cfg["training"].get("profile_dir"))
     timer = StepTimer()
 
+    fused_val = None
+    if val_dds is not None and val_dds.n_models:
+        # whole-split validation in one dispatch
+        fused_val = trainer.make_fused_eval_fn(
+            val_dds, cfg["data"]["points_subsample"],
+            cfg["data"]["pointcloud_n"],
+        )
+
     t0 = time.time()
     stop = False
 
@@ -195,7 +207,12 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
             )
 
         if validate_every > 0 and it % validate_every == 0:
-            eval_dict = trainer.evaluate(state, val_loader_fn())
+            if fused_val is not None:
+                eval_dict = trainer.evaluate_device(
+                    state, fused_val, val_dds.n_models
+                )
+            else:
+                eval_dict = trainer.evaluate(state, val_loader_fn())
             metric_val = eval_dict[metric]
             print("Validation metric (%s): %.4f" % (metric, metric_val))
             for k, v in eval_dict.items():

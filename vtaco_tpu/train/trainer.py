@@ -522,6 +522,23 @@ class Trainer:
         train loop only uses K and 1).
         """
         dds = device_dataset
+        assemble = self._device_batch_assembler(dds, n_points, n_cloud)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state, rng, ids_block):
+            keys = jax.random.split(rng, ids_block.shape[0])
+
+            def body(st, xs):
+                key, ids = xs
+                return self._train_step(st, assemble(key, ids))
+
+            return jax.lax.scan(body, state, (keys, ids_block))
+
+        return run
+
+    def _device_batch_assembler(self, dds, n_points, n_cloud, for_eval=False):
+        """Traceable (key, (B,) ids) → arrays dict: on-device gather +
+        augmentation of a batch, mesh-bank lookup, DP sharding constraint."""
         bank_ids = None
         if self.mesh_bank is not None:
             bank_ids = jnp.asarray(self.mesh_bank.ids_for(dds.names), jnp.int32)
@@ -536,9 +553,13 @@ class Trainer:
             "touch_success": "inputs.touch_success",
         }
 
-        def one_step(st, key, ids):
+        def assemble(key, ids):
             batch = dds._sample(key, ids, n_points, n_cloud)
             a = {k: batch[src] for k, src in key_map.items() if src in batch}
+            if for_eval:
+                # eval decodes the FULL labeled query set (points_iou field)
+                a["points_iou"] = dds.data["points"][ids]
+                a["occ_iou"] = dds.data["occ"][ids]
             if bank_ids is not None:
                 bids = bank_ids[ids]
                 a["mesh_verts"] = self.mesh_bank.verts[bids]
@@ -555,17 +576,33 @@ class Trainer:
                     return v
 
                 a = jax.tree.map(constrain, a)
-            return self._train_step(st, a)
+            return a
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def run(state, rng, ids_block):
-            keys = jax.random.split(rng, ids_block.shape[0])
+        return assemble
 
-            def body(st, xs):
-                key, ids = xs
-                return one_step(st, key, ids)
+    def make_fused_eval_fn(self, device_dataset, n_points, n_cloud):
+        """Whole-split validation in ONE XLA dispatch.
 
-            return jax.lax.scan(body, state, (keys, ids_block))
+        Returns a jitted ``fn(state, ids (M, 1)) -> {metric: (M,)}`` that
+        lax.scans eval_step over the split's models (B=1 each, matching
+        BaseTrainer.evaluate semantics, src/training.py:10-39) with batches
+        assembled from a device-resident copy of the val split. The caller
+        means the per-model values. Deterministic: the subsample key is
+        folded from each model id."""
+        dds = device_dataset
+        assemble = self._device_batch_assembler(
+            dds, n_points, n_cloud, for_eval=True
+        )
+        base = jax.random.PRNGKey(12345)
+
+        @jax.jit
+        def run(state, ids_block):
+            def body(carry, ids):
+                key = jax.random.fold_in(base, ids[0])
+                return carry, self._eval_step(state, assemble(key, ids))
+
+            _, outs = jax.lax.scan(body, 0, ids_block)
+            return outs
 
         return run
 
@@ -667,3 +704,10 @@ class Trainer:
             for k, v in self.eval_step(state, batch).items():
                 eval_list.setdefault(k, []).append(v)
         return {k: float(np.mean(v)) for k, v in eval_list.items()}
+
+    def evaluate_device(self, state: TrainState, eval_fn, n_models):
+        """evaluate() over a device-resident val split: one dispatch via a
+        make_fused_eval_fn program, then mean the per-model metrics."""
+        ids = np.arange(n_models, dtype=np.int32)[:, None]
+        out = eval_fn(state, jnp.asarray(ids))
+        return {k: float(np.mean(np.asarray(v))) for k, v in out.items()}
