@@ -46,6 +46,10 @@ def main():
                          "dispatch over a device-resident dataset")
     ap.add_argument("--mise", action="store_true",
                     help="also measure 256^3 MISE multi-resolution extraction")
+    ap.add_argument("--batch-objects", type=int, default=0, metavar="B",
+                    help="also measure batched multi-object serving: encode "
+                         "B objects, batched dense decode, host MC per "
+                         "object (reports objects/s/chip)")
     ap.add_argument("--gating", default="contact",
                     choices=("contact", "tips", "none"),
                     help="tactile-feature gating mode for the decode "
@@ -236,6 +240,43 @@ def main():
         verts, faces = marching_cubes(grid, gradient="ascent")
         t_object = min(t_object, time.time() - t0)
 
+    batched_detail = {}
+    if args.batch_objects > 0:
+        B = args.batch_objects
+        enc_b = jax.jit(
+            lambda v, x: model.apply(v, x, train=False,
+                                     method=model.encode_inputs)
+        )
+        pts_b = jax.random.uniform(
+            jax.random.PRNGKey(2), (B, 3000, 3), minval=-0.45, maxval=0.45
+        )
+
+        # the CPU backend's dot thunk can't execute bf16 matmuls
+        serve_dtype = (jnp.float32 if jax.default_backend() == "cpu"
+                       else jnp.bfloat16)
+
+        def serve(pts_in):
+            cB = enc_b(variables, pts_in)
+            vals = gen.decode_dense_batched(state, nx, cB, dtype=serve_dtype)
+            meshes = [
+                marching_cubes(np.asarray(vals[b], np.float32).reshape(nx, nx, nx),
+                               gradient="ascent")
+                for b in range(B)
+            ]
+            return meshes
+
+        serve(pts_b)  # warm/compile
+        t_batched = np.inf
+        for r in range(max(args.repeats, 2)):
+            t0 = time.time()
+            meshes = serve(pts_b * (1.01 + 0.01 * r))
+            t_batched = min(t_batched, time.time() - t0)
+        batched_detail = {
+            "batched_objects": B,
+            "batched_total_s": round(t_batched, 3),
+            "batched_objects_per_sec": round(B / t_batched, 2),
+        }
+
     mise_detail = {}
     if args.mise:
         from vtaco_tpu.generate.mise import multires_decode
@@ -358,6 +399,7 @@ def main():
             "encode_compile_s": round(t_encode_compile, 2),
             "init_s": round(t_init, 2),
             "mc_verts": int(len(verts)),
+            **batched_detail,
             **mise_detail,
             **train_detail,
         },

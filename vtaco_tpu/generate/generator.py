@@ -61,8 +61,15 @@ class Generator3D:
         contact_per_finger=128,
         depth_origin=None,
         legacy_gt_depth=True,
+        matmul_precision="highest",
     ):
+        """``matmul_precision``: precision context for the encoder/decoder
+        applies ('highest' preserves the package default for metric parity;
+        'default' runs the MXU's native bf16 passes — ~2-3x faster encodes
+        on TPU, visually identical meshes)."""
         self.model = model
+        self.matmul_precision = matmul_precision
+        self._apply_cache = {}
         self.points_batch_size = points_batch_size
         self.threshold = threshold
         self.resolution0 = resolution0
@@ -146,7 +153,8 @@ class Generator3D:
             depth_origin=depth_origin,
             vol_info=vol_info,
             vol_bound=vol_bound,
-            **kw,
+            **{"matmul_precision": gen.get("matmul_precision", "highest"),
+               **kw},
         )
 
     # ------------------------------------------------------------------
@@ -154,7 +162,24 @@ class Generator3D:
         return {"params": state.params, "batch_stats": state.batch_stats}
 
     def _apply(self, state, method, *args, **kw):
-        return self.model.apply(self._vars(state), *args, method=method, **kw)
+        """Jit-cached module apply (one XLA dispatch per call).
+
+        An eager ``model.apply`` executes op-by-op — hundreds of dispatches
+        per encode, which dominates wall-clock on a remote/tunneled device.
+        Programs are cached per (method, static kwargs)."""
+        key = (getattr(method, "__name__", id(method)),
+               tuple(sorted(kw.items())))
+        fn = self._apply_cache.get(key)
+        if fn is None:
+            precision = self.matmul_precision
+
+            def run(variables, *a):
+                with jax.default_matmul_precision(precision):
+                    return self.model.apply(variables, *a, method=method, **kw)
+
+            fn = jax.jit(run)
+            self._apply_cache[key] = fn
+        return fn(self._vars(state), *args)
 
     # ------------------------------------------------------------------
     def _decode_chunk_impl(self, variables, pts, c, gate_pts, gate_feat,
