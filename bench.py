@@ -271,10 +271,33 @@ def main():
             t0 = time.time()
             meshes = serve(pts_b * (1.01 + 0.01 * r))
             t_batched = min(t_batched, time.time() - t0)
+
+        # pipelined: dispatch flight r+1 before running flight r's host
+        # marching cubes (XLA dispatch is async) — sustained serving rate
+        def mc_all(vals):
+            vals = np.asarray(vals, np.float32)
+            return [marching_cubes(vals[b].reshape(nx, nx, nx),
+                                   gradient="ascent") for b in range(B)]
+
+        n_flights = 3
+        t0 = time.time()
+        prev = None
+        for r in range(n_flights):
+            cB = enc_b(variables, pts_b * (1.05 + 0.01 * r))
+            vals = gen.decode_dense_batched(state, nx, cB, dtype=serve_dtype)
+            if prev is not None:
+                mc_all(prev)
+            prev = vals
+        mc_all(prev)
+        t_pipe = time.time() - t0
+
         batched_detail = {
             "batched_objects": B,
             "batched_total_s": round(t_batched, 3),
             "batched_objects_per_sec": round(B / t_batched, 2),
+            "batched_pipelined_objects_per_sec": round(
+                B * n_flights / t_pipe, 2
+            ),
         }
 
     mise_detail = {}

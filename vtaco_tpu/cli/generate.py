@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--mesh-root", type=str, default=None)
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="Override test.model_file.")
+    ap.add_argument("--batched", type=int, default=0, metavar="B",
+                    help="Pipelined B-object batched reconstruction "
+                         "(plain occupancy decode; no tactile gating).")
     args = ap.parse_args(argv)
 
     import jax
@@ -78,9 +81,24 @@ def main(argv=None):
 
     generator = Generator3D.from_config(model, cfg)
     inferencer = Inferencer.from_config(model, generator, cfg)
+    gen_dir = args.out_dir or os.path.join(out_dir, "generation")
+    if args.batched:
+        # pipelined multi-object serving (plain occupancy decode; host
+        # marching cubes overlaps the next batch's device compute)
+        results = inferencer.run_batched(
+            state, loader, batch_size=args.batched,
+            out_dir=gen_dir, max_samples=args.max_samples,
+        )
+        print(json.dumps({
+            "split": args.split,
+            "n": len(results["names"]),
+            "cd_mean": results["cd_mean"],
+            "batched": args.batched,
+        }))
+        return
     results = inferencer.run(
         state, loader,
-        out_dir=args.out_dir or os.path.join(out_dir, "generation"),
+        out_dir=gen_dir,
         max_samples=args.max_samples,
     )
     print(json.dumps({

@@ -186,6 +186,21 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
             val_dds, cfg["data"]["points_subsample"],
             cfg["data"]["pointcloud_n"],
         )
+        if validate_every > 0:
+            # pre-compile on a background thread so the first validation
+            # doesn't stall training (abstract args — no buffers held; the
+            # XLA artifact lands in the persistent compile cache)
+            import threading
+
+            def _precompile(abs_state=jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)):
+                try:
+                    ids = jax.ShapeDtypeStruct((val_dds.n_models, 1), np.int32)
+                    fused_val.lower(abs_state, ids).compile()
+                except Exception as e:  # best-effort warmup only
+                    print("fused-val precompile skipped:", e)
+
+            threading.Thread(target=_precompile, daemon=True).start()
 
     t0 = time.time()
     stop = False
