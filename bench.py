@@ -284,9 +284,10 @@ def main():
         prev = None
         for r in range(n_flights):
             cB = enc_b(variables, pts_b * (1.05 + 0.01 * r))
-            vals = gen.decode_dense_batched(state, nx, cB, dtype=serve_dtype)
+            vals = gen.decode_dense_batched(state, nx, cB, dtype=serve_dtype,
+                                            return_device=True)
             if prev is not None:
-                mc_all(prev)
+                mc_all(prev)  # host MC overlaps the in-flight decode
             prev = vals
         mc_all(prev)
         t_pipe = time.time() - t0

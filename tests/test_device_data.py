@@ -144,3 +144,57 @@ def test_fused_eval_fn(dds):
     # deterministic: same state → identical metrics
     out2 = tr.evaluate_device(state, eval_fn, d.n_models)
     assert out == out2
+
+
+def test_resume_keeps_finetuned_t2d(tmp_path):
+    """Checkpoint resume must win over the pretrained-t2d graft: the graft
+    runs at build time (conv_onet/config.py:131-133), the resume restore
+    after it — a requeued run must not clobber fine-tuned encoder_t2d
+    weights with the stale pretrained snapshot."""
+    import flax
+    import jax.numpy as jnp
+
+    from vtaco_tpu.core.checkpoint import CheckpointIO
+    from vtaco_tpu.train.loop import train
+
+    root, mesh_root = generate(
+        str(tmp_path / "data"), n_models=6, n_query=400, n_surface=800,
+        img_h=16, img_w=12, seed=9, splits=(("train", 0.7), ("val", 0.3)),
+    )
+    cfg = _small_cfg("configs/VTacO/VTacO_YCB.yaml", root, mesh_root)
+    out = str(tmp_path / "out")
+    cfg["training"].update(out_dir=out, batch_size=2, validate_every=0,
+                           visualize_every=0, checkpoint_every=0,
+                           backup_every=0, print_every=0)
+    # build a pretrained t2d checkpoint from the tactile config
+    tcfg = _small_cfg("configs/tactile/tactile_test.yaml", root, mesh_root)
+    tmodel, _ = get_model(tcfg)
+    ttr = Trainer.from_config(tmodel, tcfg)
+    tds = get_dataset("train", tcfg)
+    from vtaco_tpu.data import BatchLoader
+
+    tb = next(iter(BatchLoader(tds, 2, num_workers=1, seed=0)))
+    tstate = ttr.init_state(tb)
+    t2d_path = str(tmp_path / "t2d.ckpt")
+    CheckpointIO(out, state=tstate).save(t2d_path, it=1)
+    cfg["model"]["encoder_t2d_kwargs"]["model_file"] = t2d_path
+
+    state1, _ = train(cfg, max_iters=1)  # writes out/model.ckpt at exit
+
+    # simulate fine-tuning drift: perturb encoder_t2d in the checkpoint
+    ck = CheckpointIO(out, state=state1)
+    restored, scalars = ck.load("model.ckpt", state=state1)
+    st = restored["state"]
+    params = flax.core.unfreeze(st.params)
+    leaf = params["encoder_t2d"]["encoder_hand"]["fc_pos"]["bias"]
+    params["encoder_t2d"]["encoder_hand"]["fc_pos"]["bias"] = leaf + 123.0
+    st = st.replace(params=flax.core.freeze(params))
+    CheckpointIO(out, state=st).save("model.ckpt", **scalars)
+
+    state2, _ = train(cfg, max_iters=2)  # resumes at it=1, runs 1 more step
+    got = np.asarray(
+        state2.params["encoder_t2d"]["encoder_hand"]["fc_pos"]["bias"]
+    )
+    # the perturbation must survive the graft (graft-then-restore order);
+    # one optimizer step can move it only marginally
+    assert np.all(np.abs(got - np.asarray(leaf)) > 100.0)

@@ -100,3 +100,36 @@ def test_gating_cn_matches_reference_semantics(rng):
     ref = gen._gate_chunk(pts, "contact", cpts, feat, cvalid)
     fast = FT.gate_contact_cn(p_cn, cpts, feat, cvalid).T
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+
+def test_fast_dense_leaky_decoder(rng):
+    """leaky=True decoders must decode identically through the fast trunk
+    (it previously hardcoded ReLU)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    C, R = 8, 6
+    dec = LocalDecoder(c_dim=C, hidden_size=16, n_blocks=3, leaky=True)
+    model = ConvOccupancyNetwork(decoder=dec)
+    c_planes = {
+        "grid": jnp.asarray(rng.standard_normal((1, R, R, R, C)), jnp.float32)
+    }
+    p = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 4, 3)), jnp.float32)
+    v = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), p, c_planes, method=model.decode
+    ))()
+
+    class S:
+        params = v["params"]
+        batch_stats = {}
+
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    slow = gen.eval_points_dense(S(), 16, c_planes, fast=False,
+                                 transfer_dtype=jnp.float32)
+    fast = gen.eval_points_dense(S(), 16, c_planes, fast=True,
+                                 transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(fast, slow, atol=1e-5)
+    # batched path honors leaky too
+    out = gen.decode_dense_batched(S(), 16, c_planes)
+    np.testing.assert_allclose(
+        out[0], slow.astype(jnp.bfloat16).astype(np.float32), atol=1e-2
+    )

@@ -47,9 +47,14 @@ def _small_cfg(path, root, mesh_root, **data_over):
         m["encoder_hand_kwargs"]["plane_resolution"] = 8
         if m["encoder_hand_kwargs"].get("unet"):
             m["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
+    if m.get("train_tactile"):
+        # shrink the 512 default c_dim; the VTacO t2d kwargs below shrink
+        # identically so pretrained-t2d grafting stays structure-compatible
+        m["c_dim"] = 32
     if isinstance(m.get("encoder_t2d_kwargs"), dict):
         tk = m["encoder_t2d_kwargs"]
-        tk["encoder_hand_kwargs"].update(hidden_dim=8, plane_resolution=8)
+        tk["encoder_hand_kwargs"].update(hidden_dim=8, plane_resolution=8,
+                                         c_dim=32)
         tk["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
         tk["encoder_img_kwargs"].update(depth=2, start_filts=8)
     if isinstance(m.get("encoder_img_kwargs"), dict) and m.get("encoder_img") == "UNet":

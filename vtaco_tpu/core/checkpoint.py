@@ -114,6 +114,19 @@ class CheckpointIO:
         scalars = payload.get("_scalars", {})
         return out, {k: _to_py(v) for k, v in scalars.items()}
 
+    def load_raw(self, filename):
+        """Restore the raw payload (nested dicts of np arrays) without a
+        structure target — for partial restores like the pretrained-t2d
+        graft, where the checkpoint's model differs from the live one.
+        Returns (payload, scalars)."""
+        path = self._path(filename)
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        scalars = payload.pop("_scalars", {})
+        return payload, {k: _to_py(v) for k, v in scalars.items()}
+
 
 def _to_py(v):
     if isinstance(v, np.ndarray) and v.ndim == 0:

@@ -246,28 +246,45 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
         error = []
+        closed = threading.Event()  # consumer abandoned the iterator
+
+        def put(item):
+            """q.put that gives up if the consumer is gone — an abandoned
+            iterator (e.g. next(iter(loader))) must not leave the producer
+            thread blocked forever holding prefetched batches + the pool."""
+            while not closed.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for idxs in batches:
                         samples = list(pool.map(self.dataset.__getitem__, idxs))
-                        q.put(collate_batch(samples))
+                        if not put(collate_batch(samples)):
+                            return
             except BaseException as e:  # surface in the consumer, never hang
                 error.append(e)
             finally:
-                q.put(stop)
+                put(stop)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                if error:
-                    raise error[0]
-                break
-            if item is not None:
-                yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    if error:
+                        raise error[0]
+                    break
+                if item is not None:
+                    yield item
+        finally:
+            closed.set()  # GeneratorExit / break / exception → stop producer
 
 
 def get_dataset(mode, cfg, return_idx=False):

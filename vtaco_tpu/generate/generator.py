@@ -32,7 +32,6 @@ from vtaco_tpu.ops import metrics
 from vtaco_tpu.ops.geometry import (
     R_from_PYR,
     axisang_to_euler_xyz,
-    make_3d_grid,
     norm_pc_1,
     pc_cam_to_world,
 )
@@ -94,7 +93,7 @@ class Generator3D:
         )
         self._decode_dense_fast = jax.jit(
             self._decode_dense_fast_impl,
-            static_argnames=("nx", "gating", "dtype", "use_pallas"),
+            static_argnames=("nx", "gating", "dtype", "use_pallas", "leaky"),
         )
 
     @classmethod
@@ -261,7 +260,7 @@ class Generator3D:
 
     def _decode_dense_fast_impl(self, trunk_params, c, gate_pts, gate_feat,
                                 gate_valid, nx, gating, dtype,
-                                use_pallas=False):
+                                use_pallas=False, leaky=False):
         """Channels-first whole-grid decode (ops.fast_trunk): feature
         upsampling, gating and the MLP all keep points on the lane
         dimension. Returns logits flattened z-slowest (caller transposes
@@ -282,7 +281,8 @@ class Generator3D:
         elif gating == "contact":
             c_img = FT.gate_contact_cn(p_cn, gate_pts, gate_feat, gate_valid,
                                        dtype=dtype)
-        if use_pallas:
+        # the Pallas kernel hardcodes ReLU; leaky decoders use the XLA trunk
+        if use_pallas and not leaky:
             from vtaco_tpu.ops.pallas.decode import (
                 fused_trunk_cn,
                 pack_trunk_params,
@@ -291,7 +291,8 @@ class Generator3D:
             packed = pack_trunk_params(trunk_params, with_img=gating != "none",
                                        dtype=dtype)
             return fused_trunk_cn(packed, p_cn, feats, c_img, dtype=dtype)
-        return FT.trunk_cn(trunk_params, p_cn, feats, c_img, dtype=dtype)
+        return FT.trunk_cn(trunk_params, p_cn, feats, c_img, dtype=dtype,
+                           leaky=leaky)
 
     def eval_points_dense(self, state, nx, c, gating="none", gate_pts=None,
                           gate_feat=None, gate_valid=None, fast=True,
@@ -319,7 +320,7 @@ class Generator3D:
             )
             logits = self._decode_dense_fast(
                 tp, c, gate_pts, gate_feat, gate_valid, nx, gating, dtype,
-                use_pallas,
+                use_pallas, getattr(decoder, "leaky", False),
             )
             if return_device:
                 return logits
@@ -434,8 +435,10 @@ class Generator3D:
         n_dev = device_mesh.shape["data"]
         assert nx % n_dev == 0, (nx, n_dev)
         tp = FT.extract_trunk_params(
-            state.params["decoder"], self.model.decoder.n_blocks, with_img=False
+            state.params["decoder"], self.model.decoder.n_blocks,
+            with_img=False,
         )
+        leaky = getattr(self.model.decoder, "leaky", False)
         box_size = 1 + self.padding
 
         key = ("sharded", nx, n_dev, jnp.dtype(dtype).name)
@@ -458,7 +461,8 @@ class Generator3D:
                 g2 = jnp.einsum("jy,ciyx->cijx", Wfull, g1)
                 g3 = jnp.einsum("kx,cijx->cijk", Wfull, g2)
                 feats = g3.reshape(g3.shape[0], -1)
-                return FT.trunk_cn(tp, p_shard, feats, dtype=dtype)
+                return FT.trunk_cn(tp, p_shard, feats, dtype=dtype,
+                                   leaky=leaky)
 
             cache[key] = jax.jit(
                 fn,
@@ -484,11 +488,15 @@ class Generator3D:
 
     # ------------------------------------------------------------------
     def decode_dense_batched(self, state, nx, c_batched, device_mesh=None,
-                             dtype=jnp.float32):
+                             dtype=jnp.float32, return_device=False):
         """Data-parallel batched dense decode: (B, ...) feature fields →
         (B, nx³) logits, vmapped per sample and (optionally) sharded over
         the mesh's 'data' axis — the batched multi-object inference mode
         the single-GPU reference lacks.
+
+        ``return_device=True`` returns the (bf16) device array WITHOUT
+        blocking — the dispatch stays asynchronous, so callers can overlap
+        host work (marching cubes) with the device computation.
 
         Gating-free path (plain occupancy decode); per-sample tactile
         gating uses generate_obj_mesh_wnf per item.
@@ -496,8 +504,10 @@ class Generator3D:
         from vtaco_tpu.ops import fast_trunk as FT
 
         tp = FT.extract_trunk_params(
-            state.params["decoder"], self.model.decoder.n_blocks, with_img=False
+            state.params["decoder"], self.model.decoder.n_blocks,
+            with_img=False,
         )
+        leaky = getattr(self.model.decoder, "leaky", False)
         cache = getattr(self, "_decode_dense_vmapped", None)
         if cache is None:
             cache = self._decode_dense_vmapped = {}
@@ -507,19 +517,26 @@ class Generator3D:
                 return self._decode_dense_fast_impl(
                     tp, c, jnp.zeros((1, 3)), jnp.zeros((1, 1)),
                     jnp.zeros((1,), bool), nx=nx, gating="none", dtype=dtype,
+                    leaky=leaky,
                 )
 
-            cache[key] = jax.jit(jax.vmap(one, in_axes=(None, 0)))
+            def batched(tp, cB):
+                out = jax.vmap(one, in_axes=(None, 0))(tp, cB)
+                B = out.shape[0]
+                # reorder to x-major on device; bf16 halves the transfer
+                return out.reshape(B, nx, nx, nx).transpose(0, 3, 2, 1).reshape(
+                    B, -1
+                ).astype(jnp.bfloat16)
+
+            cache[key] = jax.jit(batched)
         if device_mesh is not None:
             from vtaco_tpu.parallel.mesh import shard_batch
 
             c_batched = shard_batch(device_mesh, c_batched)
         logits = cache[key](tp, c_batched)
-        host = np.asarray(logits.astype(jnp.bfloat16)).astype(np.float32)
-        B = host.shape[0]
-        return np.ascontiguousarray(
-            host.reshape(B, nx, nx, nx).transpose(0, 3, 2, 1)
-        ).reshape(B, -1)
+        if return_device:
+            return logits  # device bf16 (B, nx³); dispatch is async
+        return np.asarray(logits).astype(np.float32)
 
     # ------------------------------------------------------------------
     def generate_obj_mesh_wnf(self, state, data):
@@ -544,8 +561,6 @@ class Generator3D:
         wrist = jnp.asarray(data["points.wrist"])
         cam_pos = jnp.asarray(data["points.cam_pos"])
         cam_rot = jnp.asarray(data["points.cam_rot"])
-
-        pointsf = box_size * make_3d_grid((-0.5,) * 3, (0.5,) * 3, (nx,) * 3)
 
         c = self._apply(state, self.model.encode_inputs, inputs, train=False)
 

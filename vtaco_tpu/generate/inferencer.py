@@ -127,7 +127,8 @@ class Inferencer:
             inputs = jnp.asarray(np.stack(inputs_list))
             c = gen._apply(state, model.encode_inputs, inputs, train=False)
             values = gen.decode_dense_batched(
-                state, nx, c, device_mesh=device_mesh, dtype=dtype
+                state, nx, c, device_mesh=device_mesh, dtype=dtype,
+                return_device=True,  # keep the dispatch asynchronous
             )
             return values, names_b, objs
 

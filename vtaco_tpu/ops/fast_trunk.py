@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 def extract_trunk_params(decoder_params, n_blocks: int, with_img: bool):
     """Pull the LocalDecoder weights needed by the fast trunk into a flat
-    dict of arrays (host-side, once per state)."""
+    dict of arrays (host-side, once per state). The decoder's activation
+    config (leaky) is passed separately to trunk_cn — a bool in this dict
+    would become a traced leaf under jit."""
     p = decoder_params
     out = {
         "fc_out": (p["fc_out"]["kernel"], p["fc_out"]["bias"]),
@@ -55,7 +57,7 @@ def _dense_t(x_cn, kernel, bias, dtype):
     return (y + bias[:, None]).astype(dtype)
 
 
-def trunk_cn(tp, p_cn, c_cn, c_img_cn=None, dtype=jnp.float32):
+def trunk_cn(tp, p_cn, c_cn, c_img_cn=None, dtype=jnp.float32, leaky=False):
     """Decoder trunk in channels-first layout.
 
     Args:
@@ -63,11 +65,13 @@ def trunk_cn(tp, p_cn, c_cn, c_img_cn=None, dtype=jnp.float32):
       p_cn:   (3, N) query coordinates.
       c_cn:   (C, N) interpolated features.
       c_img_cn: optional (C, N) per-point tactile features → fc_p_img path.
+      leaky: LocalDecoder's activation config (True → leaky_relu 0.2).
     Returns:
       (N,) float32 logits.
     """
     p_cn = p_cn.astype(dtype)
     c_cn = c_cn.astype(dtype)
+    act = ((lambda x: jax.nn.leaky_relu(x, 0.2)) if leaky else jax.nn.relu)
     if c_img_cn is not None:
         x = jnp.concatenate([p_cn, c_img_cn.astype(dtype)], axis=0)
         net = _dense_t(x, *tp["fc_p_img"], dtype)
@@ -75,10 +79,10 @@ def trunk_cn(tp, p_cn, c_cn, c_img_cn=None, dtype=jnp.float32):
         net = _dense_t(p_cn, *tp["fc_p"], dtype)
     for (ck, cb), (w0, b0, w1, b1) in zip(tp["fc_c"], tp["blocks"]):
         net = net + _dense_t(c_cn, ck, cb, dtype)
-        h = _dense_t(jax.nn.relu(net), w0, b0, dtype)
-        dx = _dense_t(jax.nn.relu(h), w1, b1, dtype)
+        h = _dense_t(act(net), w0, b0, dtype)
+        dx = _dense_t(act(h), w1, b1, dtype)
         net = net + dx
-    logits = _dense_t(jax.nn.relu(net), *tp["fc_out"], jnp.float32)
+    logits = _dense_t(act(net), *tp["fc_out"], jnp.float32)
     return logits[0].astype(jnp.float32)
 
 

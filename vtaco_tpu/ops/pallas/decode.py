@@ -108,8 +108,7 @@ def fused_trunk_cn(packed, p_cn, feats_cn, c_img_cn=None, *,
     kernel = functools.partial(_trunk_kernel, n_blocks, dtype)
 
     weight_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
-        for _ in range(10)
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(10)
     ]
     grid_spec = pl.GridSpec(
         grid=(N // tile,),

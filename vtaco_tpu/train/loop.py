@@ -128,6 +128,52 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
     first_batch = next(iter(train_loader))
     state = trainer.init_state(first_batch)
 
+    # pretrained t2d grafting (conv_onet/config.py:131-133). Must precede
+    # the resume restore (the reference grafts at model build, before
+    # train.py loads model.pt): a resumed checkpoint's fine-tuned
+    # encoder_t2d weights win over the pretrained snapshot.
+    if aux.get("t2d_pretrained_file"):
+        t2d_file = aux["t2d_pretrained_file"]
+        try:
+            # raw (targetless) load: the t2d checkpoint's model structure is
+            # the tactile experiment's, not this model's
+            payload, _ = CheckpointIO(out_dir).load_raw(t2d_file)
+            t2d_params = payload.get("state", {}).get("params", {})
+            import flax
+            import jax.numpy as jnp
+
+            # preserve the params container type: opt_state was built on it
+            was_frozen = isinstance(state.params, flax.core.FrozenDict)
+            params = flax.core.unfreeze(state.params)
+            grafted = []
+            for sub in ("encoder_hand", "encoder_img"):
+                src = t2d_params.get(sub)
+                if src is None or sub not in params.get("encoder_t2d", {}):
+                    continue
+                dst = params["encoder_t2d"][sub]
+                src_shapes = {tuple(map(str, p)): np.shape(v) for p, v in
+                              flax.traverse_util.flatten_dict(src).items()}
+                dst_shapes = {tuple(map(str, p)): np.shape(v) for p, v in
+                              flax.traverse_util.flatten_dict(
+                                  flax.core.unfreeze(dst)).items()}
+                if src_shapes != dst_shapes:
+                    bad = [k for k in src_shapes.keys() | dst_shapes.keys()
+                           if src_shapes.get(k) != dst_shapes.get(k)][:4]
+                    raise ValueError(
+                        f"t2d checkpoint {sub} does not match the model's "
+                        f"encoder_t2d.{sub} (config mismatch?) — first "
+                        f"differing leaves: {bad}"
+                    )
+                params["encoder_t2d"][sub] = jax.tree.map(jnp.asarray, src)
+                grafted.append(sub)
+            state = state.replace(
+                params=flax.core.freeze(params) if was_frozen else params
+            )
+            print(f"=> loaded pretrained t2d weights from {t2d_file} "
+                  f"({', '.join(grafted)})")
+        except FileNotFoundError:
+            print(f"Warning: pretrained t2d checkpoint {t2d_file} not found")
+
     ckpt = CheckpointIO(out_dir, state=state)
     epoch_it, it = 0, 0
     metric_val_best = -sign * np.inf
@@ -143,27 +189,6 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
         pass
     if not np.isfinite(metric_val_best):
         metric_val_best = -sign * np.inf
-
-    # pretrained t2d grafting (conv_onet/config.py:131-133)
-    if aux.get("t2d_pretrained_file"):
-        t2d_file = aux["t2d_pretrained_file"]
-        try:
-            t2d_ckpt = CheckpointIO(out_dir)
-            restored, _ = t2d_ckpt.load(t2d_file, state=state)
-            t2d_params = restored["state"].params.get("encoder_hand"), restored[
-                "state"
-            ].params.get("encoder_img")
-            import flax
-
-            params = flax.core.unfreeze(state.params)
-            if t2d_params[0] is not None:
-                params["encoder_t2d"]["encoder_hand"] = t2d_params[0]
-            if t2d_params[1] is not None:
-                params["encoder_t2d"]["encoder_img"] = t2d_params[1]
-            state = state.replace(params=flax.core.freeze(params))
-            print(f"=> loaded pretrained t2d weights from {t2d_file}")
-        except FileNotFoundError:
-            print(f"Warning: pretrained t2d checkpoint {t2d_file} not found")
 
     nparams = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
     print("Total number of parameters: %d" % nparams)
@@ -205,10 +230,14 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
     t0 = time.time()
     stop = False
 
-    def post_step(it, scalars, state):
+    def post_step(it, scalars, state, exit_ok=True):
         """Everything after one optimization step: logging + the cadence
         triggers (print / validate / checkpoint / backup / visualize /
-        exit-after / max-iters). Shared by the per-step and fused paths."""
+        exit-after / max-iters). Shared by the per-step and fused paths.
+        ``exit_ok``: the fused path passes False mid-block — ``state``
+        already holds the whole block's steps, so an exit-after save there
+        would record an ``it`` behind the state; exits happen only at
+        block boundaries."""
         nonlocal metric_val_best, stop
         timer.tick()
         for k, v in scalars.items():
@@ -257,7 +286,7 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
             except Exception as e:  # visualization must not kill training
                 print("visualize failed:", e)
 
-        if exit_after > 0 and (time.time() - t0) >= exit_after:
+        if exit_ok and exit_after > 0 and (time.time() - t0) >= exit_after:
             print("Time limit reached. Exiting.")
             ckpt.wait()
             ckpt.register_modules(state=state)
@@ -301,7 +330,7 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
                 it += 1
                 epoch_it = 1 + (it - 1) // steps_per_epoch
                 post_step(it, {k2: float(v[j]) for k2, v in scal.items()},
-                          state)
+                          state, exit_ok=(j == k - 1))
                 if stop:
                     break
     else:

@@ -50,6 +50,9 @@ from vtaco_tpu.train import contact as C
 DEPTH_NEAR = 0.019
 DEPTH_FAR = 0.022
 DEPTH_REST = 0.0215
+# predicted-depth denormalization slope (training.py:692, generation.py:229
+# use 0.005 — intentionally wider than DEPTH_FAR - DEPTH_NEAR)
+DEPTH_SCALE = 0.005
 CAM_FOV = 60.0
 
 
@@ -382,7 +385,7 @@ class Trainer:
             if self.legacy_gt_depth:
                 depth_for_contact = a["depths"]
             else:
-                depth_for_contact = pred_depth * (DEPTH_FAR - DEPTH_NEAR) + DEPTH_NEAR
+                depth_for_contact = pred_depth * DEPTH_SCALE + DEPTH_NEAR
             rng, k = jax.random.split(rng)
             sample = C.t2d_contact_sample(
                 depth_for_contact, a["touch_success"], a["cam_pos"], a["cam_rot"],

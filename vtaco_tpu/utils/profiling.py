@@ -81,7 +81,9 @@ class ProfiledRegion:
         self._active = False
 
     def maybe_start(self, step):
-        if self.log_dir and not self._active and step == self.start_step:
+        # >= (not ==): callers that advance multiple steps per dispatch
+        # (fused mode) may never land exactly on start_step
+        if self.log_dir and not self._active and step >= self.start_step:
             os.makedirs(self.log_dir, exist_ok=True)
             jax.profiler.start_trace(self.log_dir)
             self._active = True
