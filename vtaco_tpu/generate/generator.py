@@ -615,6 +615,11 @@ class Generator3D:
         np.random.shuffle(vert_sample)
         vert_sample = np.ascontiguousarray(vert_sample[:2048], np.float32)
 
+        if len(vert_sample) == 0:
+            # degenerate field (e.g. untrained weights): no iso-crossing →
+            # empty mesh; chamfer/EMD are undefined
+            return (verts, faces), float("inf"), float("inf")
+
         cd = float(
             np.asarray(
                 metrics.chamfer_distance(

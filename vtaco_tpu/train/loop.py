@@ -82,6 +82,19 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
 
     train_dataset = get_dataset("train", cfg)
     val_dataset = get_dataset("val", cfg, return_idx=True)
+    if len(train_dataset) == 0:
+        raise ValueError(
+            "train split %r of %s contains no models"
+            % (cfg["data"]["train_split"], cfg["data"]["path"])
+        )
+    if batch_size > len(train_dataset):
+        # drop_last would otherwise yield zero batches (e.g. smoke runs on
+        # a tiny synthetic split with the configs' full batch size)
+        print(
+            "Warning: batch_size %d > train split size %d; clamping"
+            % (batch_size, len(train_dataset))
+        )
+        batch_size = len(train_dataset)
     val_dds = None
     if cfg["data"].get("on_device"):
         # whole split resident in HBM; batches assembled + augmented on
