@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--train-batch", type=int, default=3)
     ap.add_argument("--train-remat", action="store_true",
                     help="rematerialize activations (bigger train batches)")
+    ap.add_argument("--train-skip-t2d", action="store_true",
+                    help="drop the unused pretrained-t2d forward from the "
+                         "train step (loss-identical in the shipped VTacO "
+                         "path; see Trainer.skip_unused_t2d)")
     ap.add_argument("--train-fused", type=int, default=0, metavar="K",
                     help="with --train: also measure K steps fused into one "
                          "dispatch over a device-resident dataset")
@@ -353,7 +357,8 @@ def main():
         ds = get_dataset("train", tcfg)
         bank = build_mesh_bank(tcfg)
         trainer = Trainer.from_config(model, tcfg, mesh_bank=bank,
-                                      remat=args.train_remat)
+                                      remat=args.train_remat,
+                                      skip_unused_t2d=args.train_skip_t2d)
         batch = next(iter(BatchLoader(ds, args.train_batch, num_workers=2,
                                       seed=0)))
         t0 = time.time()

@@ -102,6 +102,29 @@ def test_vtaco_t2d_img_path(synth):
     assert "iou" in ev and 0.0 <= ev["iou"] <= 1.0
 
 
+def test_skip_unused_t2d_loss_identical(synth):
+    """In the shipped VTacO path (pretrained t2d + legacy GT depth) the t2d
+    forward never reaches the loss — dropping it must not change any loss
+    scalar (only the frozen t2d's BatchNorm stats stop drifting)."""
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/VTacO/VTacO_YCB.yaml", root, mesh_root)
+    model, _ = get_model(cfg)
+    ds = get_dataset("train", cfg)
+    bank = build_mesh_bank(cfg, ds)
+    batch = next(iter(BatchLoader(ds, batch_size=2, num_workers=1, seed=0)))
+    tr_ref = Trainer.from_config(model, cfg, mesh_bank=bank,
+                                 contact_per_finger=32)
+    tr_skip = Trainer.from_config(model, cfg, mesh_bank=bank,
+                                  contact_per_finger=32,
+                                  skip_unused_t2d=True)
+    state = tr_ref.init_state(batch)
+    _, sc_ref = tr_ref.train_step(state, batch)
+    _, sc_skip = tr_skip.train_step(state, batch)
+    assert set(sc_ref) == set(sc_skip)
+    for k in sc_ref:
+        np.testing.assert_allclose(sc_skip[k], sc_ref[k], rtol=1e-6, atol=1e-7)
+
+
 def test_vtacoh_img_path(synth):
     root, mesh_root = synth
     cfg = _small_cfg("configs/VTacOH/VTacOH_YCB.yaml", root, mesh_root)

@@ -99,6 +99,7 @@ class Trainer:
         seed=0,
         matmul_precision="default",
         remat=False,
+        skip_unused_t2d=False,
     ):
         """``matmul_precision``: 'default' runs matmuls in the MXU's native
         bf16 passes (the idiomatic TPU training mode — f32 storage, bf16
@@ -108,7 +109,18 @@ class Trainer:
         ``remat``: rematerialize each encoder/decoder forward in the
         backward pass (jax.checkpoint) — trades ~30% step FLOPs for the
         activation memory that otherwise caps the batch size (the full
-        VTacO model OOMs a 16GB chip at batch 12 without it)."""
+        VTacO model OOMs a 16GB chip at batch 12 without it).
+
+        ``skip_unused_t2d``: in the shipped VTacO_YCB training path
+        (pretrained t2d + legacy_gt_depth) the t2d depth/pose forward — the
+        largest conv stack in the step — contributes NOTHING to the loss:
+        the reference computes the predicted depth and then overwrites it
+        with ground truth (training.py:691-693), and the pose/depth losses
+        are off when the t2d is pretrained. Only its BatchNorm
+        running-stats mutation keeps it alive in the compiled program.
+        True drops that forward from the train step entirely (the frozen
+        t2d keeps its pretrained stats). Default False = reference
+        behavior (stats drift like the reference's train-mode t2d)."""
         self.model = model
         if optimizer is None:
             optimizer = (
@@ -134,6 +146,7 @@ class Trainer:
         self.seed = seed
         self.matmul_precision = matmul_precision
         self.remat = remat
+        self.skip_unused_t2d = skip_unused_t2d
         if vis_dir is not None and not os.path.exists(vis_dir):
             os.makedirs(vis_dir)
 
@@ -172,7 +185,9 @@ class Trainer:
             depth_origin=depth_origin,
             device_mesh=device_mesh,
             matmul_precision=cfg["training"].get("matmul_precision", "default"),
-            **{"remat": cfg["training"].get("remat", False), **kw},
+            **{"remat": cfg["training"].get("remat", False),
+               "skip_unused_t2d": cfg["training"].get("skip_unused_t2d", False),
+               **kw},
         )
 
     # ------------------------------------------------------------------
@@ -380,8 +395,17 @@ class Trainer:
             B = a["points"].shape[0]
             H, W = a["imgs"].shape[2], a["imgs"].shape[3]
             hw = H * W
-            pred_depth, c_hand_d = apply(model.encode_t2d, a["inputs"], a["imgs"])
-            digit_param = c_hand_d["mano_param"]
+            # With GT-depth contact sampling and a pretrained (frozen) t2d,
+            # neither t2d output reaches the loss (see skip_unused_t2d in
+            # __init__) — optionally drop the whole forward.
+            t2d_needed = (not self.legacy_gt_depth) or (not self.pretrained_t2d)
+            if t2d_needed or not self.skip_unused_t2d:
+                pred_depth, c_hand_d = apply(
+                    model.encode_t2d, a["inputs"], a["imgs"]
+                )
+                digit_param = c_hand_d["mano_param"]
+            else:
+                pred_depth = digit_param = None
             if self.legacy_gt_depth:
                 depth_for_contact = a["depths"]
             else:
