@@ -48,6 +48,9 @@ def main():
                     help="drop the unused pretrained-t2d forward from the "
                          "train step (loss-identical in the shipped VTacO "
                          "path; see Trainer.skip_unused_t2d)")
+    ap.add_argument("--train-bf16", action="store_true",
+                    help="mixed-precision training: bf16 encoder compute, "
+                         "f32 master state/labels (Trainer.compute_dtype)")
     ap.add_argument("--train-fused", type=int, default=0, metavar="K",
                     help="with --train: also measure K steps fused into one "
                          "dispatch over a device-resident dataset")
@@ -229,6 +232,24 @@ def main():
     t_decode = min(t_decode_fast, t_decode_bf16, t_decode_module)
     pts_per_sec = n_points / t_decode
 
+    # XLA-estimated FLOPs of the dense-decode program → achieved model
+    # FLOP/s at the measured (transfer-inclusive) latency. v5e peak is
+    # 197 bf16 TFLOP/s; the decode is bandwidth/latency-bound, so this
+    # mostly contextualizes how far below peak the op sits.
+    flop_detail = {}
+    try:
+        cost = gen.lower_dense_fast(
+            state, nx, c_variants[0], args.gating, gate_pts, gate_feat,
+            gate_valid,
+        ).cost_analysis()
+        if cost and cost.get("flops"):
+            flop_detail["decode_gflop"] = round(cost["flops"] / 1e9, 2)
+            flop_detail["decode_model_tflops_per_sec"] = round(
+                cost["flops"] / t_decode / 1e12, 3
+            )
+    except Exception:
+        pass  # cost analysis is best-effort (backend-dependent)
+
     # --- scattered (arbitrary-point) decode, chunked legacy path ---------
     gen.eval_points(state, pointsf, c_variants[0], args.gating, gate_pts,
                     gate_feat, gate_valid)  # warmup/compile
@@ -356,9 +377,11 @@ def main():
         )
         ds = get_dataset("train", tcfg)
         bank = build_mesh_bank(tcfg)
-        trainer = Trainer.from_config(model, tcfg, mesh_bank=bank,
-                                      remat=args.train_remat,
-                                      skip_unused_t2d=args.train_skip_t2d)
+        trainer = Trainer.from_config(
+            model, tcfg, mesh_bank=bank, remat=args.train_remat,
+            skip_unused_t2d=args.train_skip_t2d,
+            compute_dtype="bfloat16" if args.train_bf16 else None,
+        )
         batch = next(iter(BatchLoader(ds, args.train_batch, num_workers=2,
                                       seed=0)))
         t0 = time.time()
@@ -395,16 +418,21 @@ def main():
             fused = trainer.make_fused_train_fn(
                 dds, loader.n_points, loader.n_cloud
             )
+            # AOT-compile once: the Compiled handle is reused for every
+            # timed call AND for post-optimization cost analysis (flops +
+            # bytes after fusion), with no second executable built
+            k0 = loader.next_key()
+            ids0 = jnp.asarray(loader.take_ids(K))
             t0 = time.time()
-            tstate, scal = fused(tstate, loader.next_key(),
-                                 jnp.asarray(loader.take_ids(K)))
+            fused_c = fused.lower(tstate, k0, ids0).compile()
+            tstate, scal = fused_c(tstate, k0, ids0)
             _ = {k: np.asarray(v) for k, v in scal.items()}
             t_fused_first = time.time() - t0
             blocks = []
             for _ in range(2):
                 t0 = time.time()
-                tstate, scal = fused(tstate, loader.next_key(),
-                                     jnp.asarray(loader.take_ids(K)))
+                tstate, scal = fused_c(tstate, loader.next_key(),
+                                       jnp.asarray(loader.take_ids(K)))
                 _ = {k: np.asarray(v) for k, v in scal.items()}
                 blocks.append(time.time() - t0)
             t_block = min(blocks)
@@ -414,6 +442,27 @@ def main():
                 train_fused_steps_per_sec=round(K / t_block, 3),
                 train_fused_compile_s=round(t_fused_first, 1),
             )
+            try:
+                cost = fused_c.cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                if cost and cost.get("flops"):
+                    train_detail["train_step_gflop"] = round(
+                        cost["flops"] / K / 1e9, 1
+                    )
+                    train_detail["train_model_tflops_per_sec"] = round(
+                        cost["flops"] / t_block / 1e12, 3
+                    )
+                    if cost.get("bytes accessed"):
+                        # arithmetic intensity ⇒ compute- vs bandwidth-bound
+                        train_detail["train_step_gbytes"] = round(
+                            cost["bytes accessed"] / K / 1e9, 2
+                        )
+                        train_detail["train_model_gbytes_per_sec"] = round(
+                            cost["bytes accessed"] / t_block / 1e9, 1
+                        )
+            except Exception:
+                pass
 
     result = {
         "metric": "occupancy_decode_pts_per_sec_per_chip",
@@ -435,6 +484,7 @@ def main():
             "encode_compile_s": round(t_encode_compile, 2),
             "init_s": round(t_init, 2),
             "mc_verts": int(len(verts)),
+            **flop_detail,
             **batched_detail,
             **mise_detail,
             **train_detail,

@@ -336,6 +336,28 @@ class Generator3D:
             return logits
         return np.asarray(logits.astype(transfer_dtype)).astype(np.float32)
 
+    def lower_dense_fast(self, state, nx, c, gating="none", gate_pts=None,
+                         gate_feat=None, gate_valid=None, dtype=jnp.float32,
+                         use_pallas=False):
+        """jax.stage the fast dense-decode program (no execution) — for
+        cost analysis / AOT inspection. Mirrors eval_points_dense's fast
+        path so callers never hand-build the private jitted signature."""
+        from vtaco_tpu.ops import fast_trunk as FT
+
+        if gate_pts is None:
+            gate_pts = jnp.zeros((1, 3))
+            gate_feat = jnp.zeros((1, 1))
+            gate_valid = jnp.zeros((1,), bool)
+        decoder = self.model.decoder
+        tp = FT.extract_trunk_params(
+            state.params["decoder"], decoder.n_blocks,
+            with_img=gating != "none",
+        )
+        return self._decode_dense_fast.lower(
+            tp, c, gate_pts, gate_feat, gate_valid, nx, gating, dtype,
+            use_pallas, getattr(decoder, "leaky", False),
+        )
+
     def eval_points(self, state, pointsf, c, gating="none", gate_pts=None,
                     gate_feat=None, gate_valid=None):
         """Chunked occupancy decode over (N, 3) host points → (N,) logits.

@@ -100,6 +100,7 @@ class Trainer:
         matmul_precision="default",
         remat=False,
         skip_unused_t2d=False,
+        compute_dtype=None,
     ):
         """``matmul_precision``: 'default' runs matmuls in the MXU's native
         bf16 passes (the idiomatic TPU training mode — f32 storage, bf16
@@ -107,9 +108,12 @@ class Trainer:
         (use for strict parity runs).
 
         ``remat``: rematerialize each encoder/decoder forward in the
-        backward pass (jax.checkpoint) — trades ~30% step FLOPs for the
-        activation memory that otherwise caps the batch size (the full
-        VTacO model OOMs a 16GB chip at batch 12 without it).
+        backward pass (jax.checkpoint) — trades ~30% step FLOPs for
+        activation memory, raising the batch ceiling. The full VTacO model
+        at 320x240 tactile resolution OOMs a 16GB v5e at batch 12 without
+        it and is borderline with it (measured both fitting at 3.77 s/step
+        and OOMing across sessions); combine with skip_unused_t2d — the
+        t2d U-Net's in-flight activations dominate — for real headroom.
 
         ``skip_unused_t2d``: in the shipped VTacO_YCB training path
         (pretrained t2d + legacy_gt_depth) the t2d depth/pose forward — the
@@ -120,7 +124,15 @@ class Trainer:
         running-stats mutation keeps it alive in the compiled program.
         True drops that forward from the train step entirely (the frozen
         t2d keeps its pretrained stats). Default False = reference
-        behavior (stats drift like the reference's train-mode t2d)."""
+        behavior (stats drift like the reference's train-mode t2d).
+
+        ``compute_dtype``: 'bfloat16' runs the forward/backward with
+        parameters and float inputs cast to bf16 (mixed precision: master
+        parameters, optimizer state and BatchNorm running stats stay
+        f32; the loss is reduced in f32). The step is HBM-bandwidth bound
+        (see bench.py train_model_gbytes_per_sec), so halving activation
+        bytes is the main single-chip training speed lever. None (default)
+        keeps full f32 storage with bf16 MXU passes (matmul_precision)."""
         self.model = model
         if optimizer is None:
             optimizer = (
@@ -147,6 +159,9 @@ class Trainer:
         self.matmul_precision = matmul_precision
         self.remat = remat
         self.skip_unused_t2d = skip_unused_t2d
+        if compute_dtype is not None and not isinstance(compute_dtype, str):
+            compute_dtype = jnp.dtype(compute_dtype).name
+        self.compute_dtype = compute_dtype
         if vis_dir is not None and not os.path.exists(vis_dir):
             os.makedirs(vis_dir)
 
@@ -187,6 +202,7 @@ class Trainer:
             matmul_precision=cfg["training"].get("matmul_precision", "default"),
             **{"remat": cfg["training"].get("remat", False),
                "skip_unused_t2d": cfg["training"].get("skip_unused_t2d", False),
+               "compute_dtype": cfg["training"].get("compute_dtype"),
                **kw},
         )
 
@@ -501,18 +517,56 @@ class Trainer:
         return loss, (scalars, bs)
 
     # ------------------------------------------------------------------
+    def _cast_compute(self, tree):
+        """Cast float leaves to the training compute dtype (mixed
+        precision); no-op when compute_dtype is None."""
+        if self.compute_dtype is None:
+            return tree
+        dt = jnp.dtype(self.compute_dtype)
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            tree,
+        )
+
+    def _cast_batch(self, a):
+        """Mixed precision casts ONLY the network input tensors — the
+        encoders (3D U-Net, tactile CNNs) hold the activation bytes. The
+        geometry/label paths stay f32: winding-number label accumulation,
+        the 1e-4 depth contact threshold, and camera math all lose
+        correctness at bf16 resolution."""
+        if self.compute_dtype is None:
+            return a
+        a = dict(a)
+        for k in ("inputs", "imgs"):
+            if k in a:
+                a[k] = self._cast_compute(a[k])
+        return a
+
     def _train_step(self, state: TrainState, a):
         rng, step_rng = jax.random.split(state.rng)
+        a_c = self._cast_batch(a)
 
         def loss_fn(params):
             with jax.default_matmul_precision(self.matmul_precision):
-                return self._compute_loss(
-                    params, state.batch_stats, step_rng, a
+                loss, aux = self._compute_loss(
+                    self._cast_compute(params), state.batch_stats,
+                    step_rng, a_c,
                 )
+                return loss.astype(jnp.float32), aux
 
         (_, (scalars, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if self.compute_dtype is not None:
+            # master state stays f32: BatchNorm stats computed in bf16 are
+            # cast back so the scan carry / checkpoint dtypes are stable
+            new_bs = jax.tree.map(
+                lambda n, o: n.astype(o.dtype), new_bs, state.batch_stats
+            )
+            scalars = jax.tree.map(
+                lambda s: s.astype(jnp.float32), scalars
+            )
         updates, new_opt = self.optimizer.update(
             grads, state.opt_state, state.params
         )
