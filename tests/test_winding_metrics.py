@@ -32,6 +32,24 @@ def test_winding_meshbank_padded_batch(rng):
     assert ((w[0] > 0.5) == box_inside).mean() > 0.99
 
 
+def test_winding_matmul_matches_reference_form(rng):
+    """The MXU (dot-product expansion) solid-angle formulation must agree
+    with the direct point-to-vertex broadcast form and stay label-accurate
+    against geometry, including with (0,0,0) padding faces."""
+    from vtaco_tpu.ops.winding import _solid_angles, _solid_angles_matmul
+
+    verts, faces = meshio.icosphere(2, radius=0.3)
+    tri = jnp.asarray(verts)[jnp.asarray(faces)]
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32))
+    ref = np.asarray(_solid_angles(tri, pts))
+    fast = np.asarray(_solid_angles_matmul(tri, pts))
+    np.testing.assert_allclose(fast, ref, atol=2e-4)
+    # padding faces (all-zero index -> degenerate triangle) contribute 0
+    pad_tri = jnp.broadcast_to(jnp.asarray(verts)[0], (4, 3, 3))
+    assert np.allclose(np.asarray(_solid_angles_matmul(pad_tri, pts)), 0.0,
+                       atol=1e-6)
+
+
 def test_compute_iou_legacy_quirk(rng):
     occ_gt = (rng.random((1, 100)) > 0.7).astype(np.float32)
     logits = rng.standard_normal((1, 100)).astype(np.float32)

@@ -22,11 +22,14 @@ import numpy as np
 
 
 def _solid_angles(tri, points):
-    """Solid angle of each triangle seen from each point.
+    """Solid angle of each triangle seen from each point (reference form).
 
     tri:    (F, 3, 3) triangle vertex positions.
     points: (P, 3) query points.
     Returns (P, F) signed solid angles.
+
+    Kept as the numpy-obvious oracle for the matmul formulation below
+    (tests check them against each other).
     """
     # vectors from query points to triangle vertices: (P, F, 3, 3)
     r = tri[None] - points[:, None, None, :]
@@ -44,6 +47,52 @@ def _solid_angles(tri, points):
     return 2.0 * jnp.arctan2(det, denom)
 
 
+def _solid_angles_matmul(tri, points):
+    """MXU formulation of the van Oosterom–Strackee solid angle.
+
+    Every point-dependent quantity in the formula is affine in dot
+    products of the query point with per-face constants:
+
+      a·b   = A·B − p·A − p·B + |p|²          (a = A − p, …)
+      |a|²  = |A|² − 2 p·A + |p|²
+      det   = a·(b×c) = A·(B×C) − p·N,  N = B×C + C×A + A×B
+              (signed-tetra-volume identity)
+
+    so the (P, F) interaction reduces to ONE (P, 3) @ (3, 4F) matmul
+    (p·A, p·B, p·C, p·N) plus per-face constants and elementwise math —
+    instead of materializing (P, F, 3, 3) point-to-vertex difference
+    tensors. On TPU the pairwise term rides the MXU and the memory
+    traffic per chunk drops ~9×.
+    """
+    A, B, C = tri[:, 0], tri[:, 1], tri[:, 2]            # (F, 3)
+    N = (jnp.cross(B, C) + jnp.cross(C, A) + jnp.cross(A, B))
+    det0 = jnp.einsum("fi,fi->f", A, jnp.cross(B, C))    # (F,)
+    dAB = jnp.einsum("fi,fi->f", A, B)
+    dBC = jnp.einsum("fi,fi->f", B, C)
+    dCA = jnp.einsum("fi,fi->f", C, A)
+    nA2 = jnp.einsum("fi,fi->f", A, A)
+    nB2 = jnp.einsum("fi,fi->f", B, B)
+    nC2 = jnp.einsum("fi,fi->f", C, C)
+
+    F = tri.shape[0]
+    W = jnp.stack([A, B, C, N], axis=1).reshape(4 * F, 3)  # (4F, 3)
+    pd = (points @ W.T).reshape(points.shape[0], F, 4)     # one MXU matmul
+    pA, pB, pC, pN = pd[..., 0], pd[..., 1], pd[..., 2], pd[..., 3]
+    pp = jnp.sum(points * points, axis=-1)[:, None]        # (P, 1)
+
+    la = jnp.sqrt(jnp.maximum(nA2 - 2.0 * pA + pp, 0.0))
+    lb = jnp.sqrt(jnp.maximum(nB2 - 2.0 * pB + pp, 0.0))
+    lc = jnp.sqrt(jnp.maximum(nC2 - 2.0 * pC + pp, 0.0))
+    det = det0 - pN
+    denom = (
+        la * lb * lc
+        + (dAB - pA - pB + pp) * lc
+        + (dBC - pB - pC + pp) * la
+        + (dCA - pC - pA + pp) * lb
+    )
+    return 2.0 * jnp.arctan2(det, denom)
+
+
 def winding_number(verts, faces, points, face_chunk: int = 4096):
     """Generalized winding number of ``points`` w.r.t. a triangle mesh.
 
@@ -55,12 +104,14 @@ def winding_number(verts, faces, points, face_chunk: int = 4096):
       faces:  (F, 3) int32 faces; degenerate (v,v,v) rows contribute 0 and
               serve as padding.
       points: (P, 3) query points.
-      face_chunk: triangles per accumulation step (bounds the (P, F)
-              intermediate).
+      face_chunk: max triangles per accumulation step (bounds the (P, F)
+              intermediate); small meshes use one lane-aligned chunk.
     Returns:
       (P,) float32 winding numbers.
     """
     F = faces.shape[0]
+    # don't pad a small mesh all the way to face_chunk — just to the lanes
+    face_chunk = min(face_chunk, max(128, -(-F // 128) * 128))
     pad = (-F) % face_chunk
     if pad:
         faces = jnp.concatenate(
@@ -70,7 +121,10 @@ def winding_number(verts, faces, points, face_chunk: int = 4096):
     tri = tri.reshape(-1, face_chunk, 3, 3)
 
     def body(acc, tri_chunk):
-        return acc + jnp.sum(_solid_angles(tri_chunk, points), axis=1), None
+        return (
+            acc + jnp.sum(_solid_angles_matmul(tri_chunk, points), axis=1),
+            None,
+        )
 
     acc, _ = jax.lax.scan(body, jnp.zeros(points.shape[0]), tri)
     return acc / (4.0 * jnp.pi)
