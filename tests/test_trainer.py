@@ -154,6 +154,22 @@ def test_bf16_compute_dtype_trains(synth):
             assert leaf.dtype == jnp.float32
 
 
+def test_fast_config_reaches_trainer(synth):
+    """configs/VTacO/VTacO_YCB_fast.yaml: the execution-strategy keys must
+    flow through from_config (same model/loss as VTacO_YCB, fast options
+    on)."""
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/VTacO/VTacO_YCB_fast.yaml", root, mesh_root)
+    assert cfg["data"]["on_device"] is True
+    assert cfg["training"]["steps_per_dispatch"] == 8
+    model, _ = get_model(cfg)
+    ds = get_dataset("train", cfg)
+    bank = build_mesh_bank(cfg, ds)
+    tr = Trainer.from_config(model, cfg, mesh_bank=bank)
+    assert tr.compute_dtype == "bfloat16"
+    assert tr.skip_unused_t2d is True
+
+
 def test_vtacoh_img_path(synth):
     root, mesh_root = synth
     cfg = _small_cfg("configs/VTacOH/VTacOH_YCB.yaml", root, mesh_root)
