@@ -56,6 +56,43 @@ def test_fast_dense_matches_module_paths(rng):
     np.testing.assert_allclose(fast, slow, atol=1e-5)
 
 
+def test_eval_points_single_dispatch_matches_chunked(rng):
+    """The scattered decode's fused lax.map path (one dispatch for all
+    chunks) must match the reference-style per-chunk loop, including the
+    ragged final chunk and feature gating."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    gen.points_batch_size = 64
+    pts = rng.uniform(-0.5, 0.5, (150, 3)).astype(np.float32)  # 3 chunks, ragged
+
+    fused = gen.eval_points(state, pts, c_planes)
+    # per-chunk fallback (what n <= bs or crop mode uses)
+    per_chunk = np.concatenate([
+        np.asarray(gen._decode_chunk(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(pts[i:i + 64]), c_planes, jnp.zeros((1, 3)),
+            jnp.zeros((1, 1)), jnp.zeros((1,), bool), "none",
+        )) for i in range(0, 150, 64)
+    ])
+    np.testing.assert_allclose(fused, per_chunk, atol=1e-5)
+
+    gate_pts = jnp.asarray(rng.uniform(-0.3, 0.3, (5, 8, 3)), jnp.float32)
+    gate_feat = jnp.asarray(rng.standard_normal((5, 8)), jnp.float32)
+    gate_valid = jnp.asarray(rng.random((5, 8)) > 0.3)
+    fused_g = gen.eval_points(state, pts, c_planes, "contact", gate_pts,
+                              gate_feat, gate_valid)
+    per_chunk_g = np.concatenate([
+        np.asarray(gen._decode_chunk(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(pts[i:i + 64]), c_planes, gate_pts, gate_feat,
+            gate_valid, "contact",
+        )) for i in range(0, 150, 64)
+    ])
+    np.testing.assert_allclose(fused_g, per_chunk_g, atol=1e-5)
+
+
 def test_pallas_trunk_matches(rng):
     from vtaco_tpu.ops.pallas.decode import fused_trunk_cn, pack_trunk_params
 

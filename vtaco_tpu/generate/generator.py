@@ -88,6 +88,9 @@ class Generator3D:
         self._decode_chunk = jax.jit(
             self._decode_chunk_impl, static_argnames=("gating",)
         )
+        self._decode_chunks_scan = jax.jit(
+            self._decode_chunks_scan_impl, static_argnames=("gating",)
+        )
         self._decode_dense = jax.jit(
             self._decode_dense_impl, static_argnames=("nx", "gating")
         )
@@ -202,6 +205,20 @@ class Generator3D:
             variables, p, c, c_img[None], method=model.decode_img
         )
         return logits[0]
+
+    def _decode_chunks_scan_impl(self, variables, pts_chunks, c, gate_pts,
+                                 gate_feat, gate_valid, gating):
+        """All chunks in ONE dispatch: lax.map of the chunk decode over a
+        (k, chunk, 3) stack. The reference (and the chunked path above)
+        dispatches per chunk; through a high-RTT link those round trips
+        dominate the scattered decode (~21 × RTT for the 128³ grid), so
+        the whole loop becomes one XLA program with one result transfer."""
+        return jax.lax.map(
+            lambda ch: self._decode_chunk_impl(
+                variables, ch, c, gate_pts, gate_feat, gate_valid, gating
+            ),
+            pts_chunks,
+        )
 
     def _gate_chunk(self, pts, gating, gate_pts, gate_feat, gate_valid):
         """Per-point tactile feature for a chunk of points (shared by the
@@ -373,6 +390,16 @@ class Generator3D:
             gate_feat = jnp.zeros((1, 1))
             gate_valid = jnp.zeros((1,), bool)
         crop_mode = self.input_type == "pointcloud_crop"
+        if not crop_mode and n > bs:
+            # single-dispatch path: stack padded chunks, lax.map on device
+            k = -(-n // bs)
+            pts = np.zeros((k * bs, 3), np.float32)
+            pts[:n] = np.asarray(pointsf, np.float32)
+            logits = self._decode_chunks_scan(
+                variables, jnp.asarray(pts.reshape(k, bs, 3)), c,
+                gate_pts, gate_feat, gate_valid, gating,
+            )
+            return np.asarray(logits).reshape(-1)[:n]
         outs = []
         for i in range(0, n, bs):
             chunk = jnp.asarray(pointsf[i : i + bs])
