@@ -242,6 +242,8 @@ def main():
             state, nx, c_variants[0], args.gating, gate_pts, gate_feat,
             gate_valid,
         ).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
         if cost and cost.get("flops"):
             flop_detail["decode_gflop"] = round(cost["flops"] / 1e9, 2)
             flop_detail["decode_model_tflops_per_sec"] = round(

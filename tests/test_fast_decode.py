@@ -67,7 +67,12 @@ def test_eval_points_single_dispatch_matches_chunked(rng):
     gen.points_batch_size = 64
     pts = rng.uniform(-0.5, 0.5, (150, 3)).astype(np.float32)  # 3 chunks, ragged
 
-    fused = gen.eval_points(state, pts, c_planes)
+    fused = gen.eval_points(state, pts, c_planes,
+                            transfer_dtype=jnp.float32)
+    # default transfer is bf16 (project convention for big device→host
+    # results) — same values to bf16 resolution
+    fused_bf16 = gen.eval_points(state, pts, c_planes)
+    np.testing.assert_allclose(fused_bf16, fused, atol=0.05, rtol=0.02)
     # per-chunk fallback (what n <= bs or crop mode uses)
     per_chunk = np.concatenate([
         np.asarray(gen._decode_chunk(
@@ -82,7 +87,8 @@ def test_eval_points_single_dispatch_matches_chunked(rng):
     gate_feat = jnp.asarray(rng.standard_normal((5, 8)), jnp.float32)
     gate_valid = jnp.asarray(rng.random((5, 8)) > 0.3)
     fused_g = gen.eval_points(state, pts, c_planes, "contact", gate_pts,
-                              gate_feat, gate_valid)
+                              gate_feat, gate_valid,
+                              transfer_dtype=jnp.float32)
     per_chunk_g = np.concatenate([
         np.asarray(gen._decode_chunk(
             {"params": state.params, "batch_stats": state.batch_stats},

@@ -328,16 +328,10 @@ class Generator3D:
             gate_feat = jnp.zeros((1, 1))
             gate_valid = jnp.zeros((1,), bool)
         if fast:
-            from vtaco_tpu.ops import fast_trunk as FT
-
-            decoder = self.model.decoder
-            tp = FT.extract_trunk_params(
-                state.params["decoder"], decoder.n_blocks,
-                with_img=gating != "none",
-            )
             logits = self._decode_dense_fast(
-                tp, c, gate_pts, gate_feat, gate_valid, nx, gating, dtype,
-                use_pallas, getattr(decoder, "leaky", False),
+                *self._dense_fast_args(state, nx, c, gating, gate_pts,
+                                       gate_feat, gate_valid, dtype,
+                                       use_pallas)
             )
             if return_device:
                 return logits
@@ -353,12 +347,12 @@ class Generator3D:
             return logits
         return np.asarray(logits.astype(transfer_dtype)).astype(np.float32)
 
-    def lower_dense_fast(self, state, nx, c, gating="none", gate_pts=None,
-                         gate_feat=None, gate_valid=None, dtype=jnp.float32,
-                         use_pallas=False):
-        """jax.stage the fast dense-decode program (no execution) — for
-        cost analysis / AOT inspection. Mirrors eval_points_dense's fast
-        path so callers never hand-build the private jitted signature."""
+    def _dense_fast_args(self, state, nx, c, gating, gate_pts, gate_feat,
+                         gate_valid, dtype, use_pallas):
+        """The _decode_dense_fast argument tuple — single source of truth
+        shared by the execute (eval_points_dense) and stage
+        (lower_dense_fast) paths so cost analysis always describes the
+        program that actually runs."""
         from vtaco_tpu.ops import fast_trunk as FT
 
         if gate_pts is None:
@@ -370,17 +364,30 @@ class Generator3D:
             state.params["decoder"], decoder.n_blocks,
             with_img=gating != "none",
         )
+        return (tp, c, gate_pts, gate_feat, gate_valid, nx, gating, dtype,
+                use_pallas, getattr(decoder, "leaky", False))
+
+    def lower_dense_fast(self, state, nx, c, gating="none", gate_pts=None,
+                         gate_feat=None, gate_valid=None, dtype=jnp.float32,
+                         use_pallas=False):
+        """jax.stage the fast dense-decode program (no execution) — for
+        cost analysis / AOT inspection."""
         return self._decode_dense_fast.lower(
-            tp, c, gate_pts, gate_feat, gate_valid, nx, gating, dtype,
-            use_pallas, getattr(decoder, "leaky", False),
+            *self._dense_fast_args(state, nx, c, gating, gate_pts, gate_feat,
+                                   gate_valid, dtype, use_pallas)
         )
 
     def eval_points(self, state, pointsf, c, gating="none", gate_pts=None,
-                    gate_feat=None, gate_valid=None):
+                    gate_feat=None, gate_valid=None,
+                    transfer_dtype=jnp.bfloat16):
         """Chunked occupancy decode over (N, 3) host points → (N,) logits.
 
         The reference's hot loop (generation.py:338-383) with the
-        per-point feature gating fused in.
+        per-point feature gating fused in. Multi-chunk inputs run as ONE
+        dispatch (lax.map over the chunk stack) and transfer the logits
+        as ``transfer_dtype`` (bf16 by default — ample for occupancy
+        values and half the device→host payload; pass jnp.float32 for
+        exact logits).
         """
         variables = self._vars(state)
         n = pointsf.shape[0]
@@ -391,15 +398,23 @@ class Generator3D:
             gate_valid = jnp.zeros((1,), bool)
         crop_mode = self.input_type == "pointcloud_crop"
         if not crop_mode and n > bs:
-            # single-dispatch path: stack padded chunks, lax.map on device
+            # single-dispatch path: stack padded chunks, lax.map on device.
+            # Each distinct chunk count k is a separate trace/compile; for
+            # large inputs round k to a multiple of 8 so resolution sweeps
+            # reuse programs (≤21% padded-chunk overhead at k=33, shrinking
+            # with k). Small/typical k (e.g. 21 for the 128³ grid) stays
+            # exact — no wasted compute on the common path.
             k = -(-n // bs)
+            if k > 32:
+                k = -(-k // 8) * 8
             pts = np.zeros((k * bs, 3), np.float32)
             pts[:n] = np.asarray(pointsf, np.float32)
             logits = self._decode_chunks_scan(
                 variables, jnp.asarray(pts.reshape(k, bs, 3)), c,
                 gate_pts, gate_feat, gate_valid, gating,
             )
-            return np.asarray(logits).reshape(-1)[:n]
+            host = np.asarray(logits.astype(transfer_dtype))
+            return host.astype(np.float32).reshape(-1)[:n]
         outs = []
         for i in range(0, n, bs):
             chunk = jnp.asarray(pointsf[i : i + bs])

@@ -66,17 +66,24 @@ def _solid_angles_matmul(tri, points):
     """
     A, B, C = tri[:, 0], tri[:, 1], tri[:, 2]            # (F, 3)
     N = (jnp.cross(B, C) + jnp.cross(C, A) + jnp.cross(A, B))
-    det0 = jnp.einsum("fi,fi->f", A, jnp.cross(B, C))    # (F,)
-    dAB = jnp.einsum("fi,fi->f", A, B)
-    dBC = jnp.einsum("fi,fi->f", B, C)
-    dCA = jnp.einsum("fi,fi->f", C, A)
-    nA2 = jnp.einsum("fi,fi->f", A, A)
-    nB2 = jnp.einsum("fi,fi->f", B, B)
-    nC2 = jnp.einsum("fi,fi->f", C, C)
+    hi = jax.lax.Precision.HIGHEST
+    det0 = jnp.einsum("fi,fi->f", A, jnp.cross(B, C), precision=hi)
+    dAB = jnp.einsum("fi,fi->f", A, B, precision=hi)
+    dBC = jnp.einsum("fi,fi->f", B, C, precision=hi)
+    dCA = jnp.einsum("fi,fi->f", C, A, precision=hi)
+    nA2 = jnp.einsum("fi,fi->f", A, A, precision=hi)
+    nB2 = jnp.einsum("fi,fi->f", B, B, precision=hi)
+    nC2 = jnp.einsum("fi,fi->f", C, C, precision=hi)
 
     F = tri.shape[0]
     W = jnp.stack([A, B, C, N], axis=1).reshape(4 * F, 3)  # (4F, 3)
-    pd = (points @ W.T).reshape(points.shape[0], F, 4)     # one MXU matmul
+    # HIGHEST: this runs inside the train step's
+    # default_matmul_precision('default') context; bf16 passes would wreck
+    # the large-minus-large expansions below (la² = |A|² − 2p·A + |p|²,
+    # det = det0 − p·N) exactly for near-surface points whose labels
+    # matter most. The contraction depth is 3, so full precision is free.
+    pd = jnp.matmul(points, W.T, precision=hi).reshape(
+        points.shape[0], F, 4)                             # one MXU matmul
     pA, pB, pC, pN = pd[..., 0], pd[..., 1], pd[..., 2], pd[..., 3]
     pp = jnp.sum(points * points, axis=-1)[:, None]        # (P, 1)
 

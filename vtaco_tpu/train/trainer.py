@@ -171,6 +171,10 @@ class Trainer:
         if compute_dtype is not None and not isinstance(compute_dtype, str):
             compute_dtype = jnp.dtype(compute_dtype).name
         self.compute_dtype = compute_dtype
+        if isinstance(keep_f32_modules, str):
+            # a bare string would tuple() into characters and silently
+            # disable the f32-decoder protection
+            keep_f32_modules = (keep_f32_modules,)
         self.keep_f32_modules = tuple(keep_f32_modules or ())
         if vis_dir is not None and not os.path.exists(vis_dir):
             os.makedirs(vis_dir)
@@ -213,9 +217,8 @@ class Trainer:
             **{"remat": cfg["training"].get("remat", False),
                "skip_unused_t2d": cfg["training"].get("skip_unused_t2d", False),
                "compute_dtype": cfg["training"].get("compute_dtype"),
-               "keep_f32_modules": tuple(
-                   cfg["training"].get("keep_f32_modules", ("decoder",))
-               ),
+               "keep_f32_modules":
+                   cfg["training"].get("keep_f32_modules", ("decoder",)),
                **kw},
         )
 
@@ -438,7 +441,11 @@ class Trainer:
             if self.legacy_gt_depth:
                 depth_for_contact = a["depths"]
             else:
-                depth_for_contact = pred_depth * DEPTH_SCALE + DEPTH_NEAR
+                # f32 before the geometry path: the 1e-4 contact threshold
+                # is below bf16 resolution at ~0.02 m depths
+                depth_for_contact = (
+                    pred_depth.astype(jnp.float32) * DEPTH_SCALE + DEPTH_NEAR
+                )
             rng, k = jax.random.split(rng)
             sample = C.t2d_contact_sample(
                 depth_for_contact, a["touch_success"], a["cam_pos"], a["cam_rot"],
