@@ -177,6 +177,14 @@ def test_fast_config_reaches_trainer(synth):
     assert tr.compute_dtype == "bfloat16"
     assert tr.skip_unused_t2d is True
 
+    cfgh = _small_cfg("configs/VTacOH/VTacOH_YCB_fast.yaml", root, mesh_root)
+    assert cfgh["data"]["on_device"] is True
+    assert cfgh["training"]["steps_per_dispatch"] == 8
+    modelh, _ = get_model(cfgh)
+    trh = Trainer.from_config(modelh, cfgh, mesh_bank=bank)
+    assert trh.compute_dtype == "bfloat16"
+    assert trh.keep_f32_modules == ("decoder",)
+
 
 def test_vtacoh_img_path(synth):
     root, mesh_root = synth
