@@ -61,6 +61,28 @@ def test_unet3d_shapes(rng):
     assert y.shape == (1, 8, 8, 8, 8)
 
 
+def test_small_channel_conv3_matches_conv3d(rng):
+    """SmallChannelConv3 (three depth-shifted 2D convs) must equal the
+    plain 3D conv with the same kernel, bias on and off."""
+    import jax.lax as lax
+
+    from vtaco_tpu.models.unet3d import SmallChannelConv3
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 8, 4)), jnp.float32)
+    for use_bias in (True, False):
+        mod = SmallChannelConv3(5, use_bias=use_bias)
+        v = mod.init(RNG, x)
+        got = mod.apply(v, x)
+        ref = lax.conv_general_dilated(
+            x, v["params"]["kernel"], (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        if use_bias:
+            ref = ref + v["params"]["bias"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
+
 def test_pointnet_plane_cell_content(rng):
     """Scattered plane features land in the right cells: a point's encoder
     feature must equal the plane cell at its (x, z) index when it is the
