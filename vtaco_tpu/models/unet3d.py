@@ -95,8 +95,13 @@ class SingleConv(nn.Module):
             elif ch == "e":
                 x = nn.elu(x)
             elif ch == "c":
+                # the depth-decomposed conv wins on large-spatial levels
+                # (64³-class, any channel count measured: C32→32 1.8×,
+                # C96→32 1.2×); at 32³ and below the 3D path is equal or
+                # better — see docs/DESIGN.md
+                spatial = x.shape[1] * x.shape[2] * x.shape[3]
                 if self.kernel_size == 3 and self.padding == 1 and \
-                        x.shape[-1] <= 48:
+                        spatial >= 131072:
                     x = SmallChannelConv3(
                         self.out_channels, use_bias=not has_norm,
                         name=f"conv{i}",
