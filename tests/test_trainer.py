@@ -185,6 +185,13 @@ def test_fast_config_reaches_trainer(synth):
     assert trh.compute_dtype == "bfloat16"
     assert trh.keep_f32_modules == ("decoder",)
 
+    cfgt = _small_cfg("configs/tactile/tactile_test_fast.yaml", root,
+                      mesh_root)
+    assert cfgt["data"]["on_device"] is True
+    modelt, _ = get_model(cfgt)
+    trt = Trainer.from_config(modelt, cfgt)
+    assert trt.train_tactile and trt.compute_dtype == "bfloat16"
+
 
 def test_vtacoh_img_path(synth):
     root, mesh_root = synth
