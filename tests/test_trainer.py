@@ -254,6 +254,13 @@ def test_generator_obj_mesh(synth):
     hv, hf = gen.generate_hand_mesh(state, vb)
     assert hv.shape == (778, 3) and hf.shape[1] == 3
 
+    # mc_level options flow from config and produce (possibly empty) meshes
+    cfg["generation"]["mc_level"] = "mean"
+    gen_m = Generator3D.from_config(model, cfg, contact_per_finger=32)
+    assert gen_m.mc_level == "mean"
+    (_, _), emd_m, cd_m = gen_m.generate_obj_mesh_wnf(state, vb)
+    assert np.isfinite(cd_m)
+
 
 def test_tactile_generator_pc(synth):
     from vtaco_tpu.generate.generator import Generator3D
