@@ -261,6 +261,12 @@ def test_generator_obj_mesh(synth):
     (_, _), emd_m, cd_m = gen_m.generate_obj_mesh_wnf(state, vb)
     assert np.isfinite(cd_m)
 
+    # MISE coarse-to-fine extraction end to end (8 -> 16 final grid)
+    mv, mf = gen.generate_obj_mesh_mise(state, vb, resolution0=8,
+                                        upsampling_steps=1)
+    assert mv.ndim == 2 and mv.shape[1] == 3
+    assert mf.ndim == 2 and mf.shape[1] == 3
+
 
 def test_tactile_generator_pc(synth):
     from vtaco_tpu.generate.generator import Generator3D
