@@ -60,6 +60,21 @@ def test_batched_dp_decode(rng):
     np.testing.assert_allclose(out[3], one, atol=1e-5)
 
 
+def test_2d_mesh_dp_decode(rng):
+    """A (data=4, model=2) 2D mesh composes: DP query-sharded decode runs
+    over the 'data' axis with the 'model' axis (reserved for tensor
+    parallelism, SURVEY §2.8) replicated — same values as single-device."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, cp, state = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    mesh2d = make_mesh(data=4, model=2)
+    nx = 16
+    sharded = gen.eval_points_dense_sharded(state, nx, cp, mesh2d)
+    single = gen.eval_points_dense(state, nx, cp, fast=True)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 def test_dp_training_with_eval(rng):
     """DP train + B=1 eval through the same trainer (eval batches don't
     divide the mesh and must replicate instead of crashing)."""
