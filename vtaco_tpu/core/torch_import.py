@@ -31,7 +31,7 @@ import numpy as np
 def _translate_path(path: Tuple[str, ...]) -> str:
     """Our param-tree path → torch dotted name prefix."""
     out = []
-    for comp in path:
+    for i, comp in enumerate(path):
         m = re.fullmatch(r"block(\d+)", comp)
         if m:
             out.append(f"blocks.{m.group(1)}")
@@ -73,8 +73,15 @@ def _translate_path(path: Tuple[str, ...]) -> str:
             out.append("downsample.1")
             continue
         m = re.fullmatch(r"(conv|groupnorm|batchnorm)(\d+)", comp)
-        if m and comp not in ("conv1", "conv2", "conv3"):
-            # UNet3D SingleConv sub-layers carry an order index we drop
+        in_single_conv = i > 0 and bool(
+            re.fullmatch(r"SingleConv\d", path[i - 1])
+        )
+        if m and (in_single_conv or comp not in ("conv1", "conv2", "conv3")):
+            # UNet3D SingleConv sub-layers carry an order-string index we
+            # drop (the reference names them plain 'conv'/'groupnorm' —
+            # src/encoder/unet3d.py create_conv); outside SingleConv the
+            # numbered convs (UNet2D down_convs conv1/conv2, ResNet convs)
+            # keep their index
             out.append(m.group(1))
             continue
         out.append(comp)

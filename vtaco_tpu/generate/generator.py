@@ -81,6 +81,16 @@ class Generator3D:
         self._apply_cache = {}
         self.points_batch_size = points_batch_size
         self.threshold = threshold
+        # validate eagerly: a typo'd string (or a bool, which passes
+        # isinstance(int)) must not silently fall back to the midpoint level
+        if isinstance(mc_level, bool) or not (
+            mc_level in ("midpoint", "mean")
+            or isinstance(mc_level, (int, float))
+        ):
+            raise ValueError(
+                "generation.mc_level must be 'midpoint', 'mean', or a "
+                f"number (logit-space iso level); got {mc_level!r}"
+            )
         self.mc_level = mc_level
         self.resolution0 = resolution0
         self.upsampling_steps = upsampling_steps
@@ -456,7 +466,12 @@ class Generator3D:
                     variables, chunk, c, gate_pts, gate_feat, gate_valid,
                     gating,
                 )
-            outs.append(np.asarray(logits[: chunk.shape[0] - pad if pad else None]))
+            # same transfer_dtype contract as the single-dispatch path:
+            # result precision depends on the argument, not the input size
+            out_i = logits[: chunk.shape[0] - pad if pad else None]
+            outs.append(
+                np.asarray(out_i.astype(transfer_dtype)).astype(np.float32)
+            )
         return np.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------------

@@ -27,7 +27,7 @@ class Inferencer:
     def __init__(self, model, generator: Generator3D, *, threshold=0.5,
                  num_sample=2048, with_img=False, with_contact=False,
                  train_tactile=False, encode_t2d=False, input_type="pointcloud",
-                 vis_dir=None, eval_sample=False):
+                 vis_dir=None):
         self.model = model
         self.generator = generator
         self.threshold = threshold

@@ -53,7 +53,8 @@ class TransNonlinear(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(x))
         x = nn.Dense(self.d_model, name="linear2")(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        return nn.LayerNorm(name="norm2")(src + x)
+        # epsilon: torch nn.LayerNorm default (flax defaults to 1e-6)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + x)
 
 
 class RelationUnit(nn.Module):

@@ -73,8 +73,9 @@ class SingleConv(nn.Module):
     Matches create_conv at src/encoder/unet3d.py:19-100: 'c' conv (bias only
     when no norm in order), 'g' GroupNorm (grouped on in- or out-channels
     depending on position), 'b' BatchNorm, 'r'/'l'/'e' activations.
-    Small-channel 3³ convs route through SmallChannelConv3 (same params,
-    same math, faster TPU layout).
+    3³ SAME convs on large-spatial inputs (≥ 2¹⁷ voxels, any channel
+    count) route through SmallChannelConv3 (same params, same math,
+    faster TPU layout).
     """
 
     out_channels: int
@@ -117,7 +118,11 @@ class SingleConv(nn.Module):
             elif ch == "g":
                 num_channels = x.shape[-1]
                 groups = self.num_groups if num_channels >= self.num_groups else 1
-                x = nn.GroupNorm(num_groups=groups, name=f"groupnorm{i}")(x)
+                # epsilon: torch nn.GroupNorm default (1e-5; flax defaults
+                # to 1e-6, which visibly shifts near-constant groups — the
+                # scattered grid is mostly empty cells)
+                x = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
+                                 name=f"groupnorm{i}")(x)
             elif ch == "b":
                 x = nn.BatchNorm(use_running_average=not train, name=f"batchnorm{i}")(x)
             else:

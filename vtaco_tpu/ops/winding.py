@@ -115,7 +115,17 @@ def winding_number(verts, faces, points, face_chunk: int = 4096):
               intermediate); small meshes use one lane-aligned chunk.
     Returns:
       (P,) float32 winding numbers.
+
+    The solid angle is translation-invariant, so both operands are centered
+    on the query points' mean before the matmul: the expanded forms in
+    ``_solid_angles_matmul`` (|a|² = |A|² − 2p·A + |p|², det = det0 − p·N)
+    cancel catastrophically for coordinates far from the origin, and
+    centering removes that scale dependence without changing the
+    one-matmul structure.
     """
+    center = jnp.mean(points, axis=0)
+    points = points - center
+    verts = verts - center
     F = faces.shape[0]
     # don't pad a small mesh all the way to face_chunk — just to the lanes
     face_chunk = min(face_chunk, max(128, -(-F // 128) * 128))

@@ -87,7 +87,6 @@ class Trainer:
         train_tactile=False,
         encode_t2d=False,
         pretrained_t2d=True,
-        eval_sample=False,
         input_type="pointcloud",
         vis_dir=None,
         mesh_bank: Optional[MeshBank] = None,
@@ -155,7 +154,6 @@ class Trainer:
         self.train_tactile = train_tactile
         self.encode_t2d = encode_t2d
         self.pretrained_t2d = pretrained_t2d
-        self.eval_sample = eval_sample
         self.input_type = input_type
         self.vis_dir = vis_dir
         self.mesh_bank = mesh_bank
@@ -207,7 +205,11 @@ class Trainer:
             train_tactile=mcfg["train_tactile"],
             encode_t2d=bool(mcfg["encoder_t2d"]),
             pretrained_t2d=pretrained_t2d,
-            eval_sample=cfg["training"]["eval_sample"],
+            # training.eval_sample is accepted in YAML for schema parity but
+            # has no plumbing: the reference's flag is itself dead — the
+            # `sample` kwarg it sets is swallowed unused by the composite
+            # forward (src/conv_onet/models/__init__.py:54-71), so there are
+            # no sampling-eval semantics to implement (docs/PARITY.md).
             input_type=cfg["data"]["input_type"],
             vis_dir=os.path.join(out_dir, "vis"),
             mesh_bank=mesh_bank,
