@@ -38,9 +38,11 @@ def main():
                     help="timing repeats per variant (min is reported); the "
                          "tunnel to the device has high latency variance, so "
                          "more repeats = a tighter floor estimate")
-    ap.add_argument("--train", action="store_true",
+    ap.add_argument("--train", action="store_true", default=True,
                     help="also measure full VTacO train-step throughput "
-                         "(adds a multi-minute grad compile)")
+                         "(adds a multi-minute grad compile); default on so "
+                         "the driver-recorded JSON carries training numbers")
+    ap.add_argument("--no-train", dest="train", action="store_false")
     ap.add_argument("--train-batch", type=int, default=3)
     ap.add_argument("--train-remat", action="store_true",
                     help="rematerialize activations (bigger train batches)")
@@ -51,9 +53,11 @@ def main():
     ap.add_argument("--train-bf16", action="store_true",
                     help="mixed-precision training: bf16 encoder compute, "
                          "f32 master state/labels (Trainer.compute_dtype)")
-    ap.add_argument("--train-fused", type=int, default=0, metavar="K",
+    ap.add_argument("--train-fused", type=int, default=8, metavar="K",
                     help="with --train: also measure K steps fused into one "
-                         "dispatch over a device-resident dataset")
+                         "dispatch over a device-resident dataset with the "
+                         "production-fast recipe (bf16 mixed precision + "
+                         "skip_unused_t2d); 0 disables")
     ap.add_argument("--mise", action="store_true",
                     help="also measure 256^3 MISE multi-resolution extraction")
     ap.add_argument("--batch-objects", type=int, default=0, metavar="B",
@@ -171,10 +175,15 @@ def main():
     c = encode(variables, pts)
     jax.block_until_ready(c)
     t_encode_compile = time.time() - t0
-    t0 = time.time()
-    c_fresh = encode(variables, pts * 0.99)  # distinct input: no result cache
-    jax.block_until_ready(c_fresh)
-    t_encode = time.time() - t0
+    # min over distinct inputs (no remote result cache): a single encode
+    # timing through this harness's tunnel carries ±0.2 s dispatch-latency
+    # noise, which previously produced encode_s > object_latency_s
+    t_encode = np.inf
+    for r in range(max(args.repeats, 2)):
+        t0 = time.time()
+        c_fresh = encode(variables, pts * (0.99 - 0.01 * r))
+        jax.block_until_ready(c_fresh)
+        t_encode = min(t_encode, time.time() - t0)
 
     # tactile feature gating inputs (synthetic contact points)
     c_img = model.apply(variables, imgs, train=False,
@@ -259,6 +268,90 @@ def main():
     gen.eval_points(state, pointsf, c_variants[1], args.gating, gate_pts,
                     gate_feat, gate_valid)
     t_scatter = time.time() - t0
+
+    # --- reference-pattern baseline: the PyTorch reference's eval_points
+    # hot loop (generation.py:338-383) dispatches one decode chunk at a
+    # time and transfers each chunk's f32 logits to host before the next.
+    # Reproduced here with OUR jitted chunk decode — so the ratio isolates
+    # the orchestration redesign (single fused dispatch + one bf16
+    # transfer), not framework overhead differences.
+    variables_dec = gen._vars(state)
+    pointsf_np = np.asarray(pointsf, np.float32)
+
+    def reference_pattern_decode(cv, scale):
+        outs = []
+        for i in range(0, n_points, args.chunk):
+            sl = pointsf_np[i : i + args.chunk] * scale
+            pad = args.chunk - len(sl)
+            if pad:
+                sl = np.pad(sl, ((0, pad), (0, 0)))
+            logits = gen._decode_chunk(
+                variables_dec, jnp.asarray(sl), cv, gate_pts, gate_feat,
+                gate_valid, args.gating,
+            )
+            outs.append(np.asarray(logits)[: args.chunk - pad or None])
+        return np.concatenate(outs)
+
+    reference_pattern_decode(c_variants[0], 1.0)  # warmup/compile
+    t_ref_pattern = np.inf
+    for r in range(2):
+        t0 = time.time()
+        reference_pattern_decode(c_variants[r + 1], 1.0 + 1e-4 * (r + 1))
+        t_ref_pattern = min(t_ref_pattern, time.time() - t0)
+
+    # --- device-only decode throughput, K-amortized ----------------------
+    # Through this harness's tunnel, per-call timings carry a ~30 ms fixed
+    # cost and block_until_ready is unreliable; the robust estimator runs
+    # K independent dense decodes in ONE dispatch (lax.map over K distinct
+    # feature sets, returning K scalar means — negligible transfer) at two
+    # K values and takes the slope: fixed costs cancel exactly.
+    from vtaco_tpu.ops import fast_trunk as FT
+
+    tp_amort = FT.extract_trunk_params(
+        state.params["decoder"], model.decoder.n_blocks,
+        with_img=args.gating != "none",
+    )
+    leaky_amort = getattr(model.decoder, "leaky", False)
+
+    @jax.jit
+    def repeat_decode(tp, c_stack, gpts, gfeat, gvalid):
+        def one(ci):
+            return gen._decode_dense_fast_impl(
+                tp, ci, gpts, gfeat, gvalid, nx=nx, gating=args.gating,
+                dtype=jnp.float32, leaky=leaky_amort,
+            ).mean()
+        return jax.lax.map(one, c_stack)
+
+    def stack_variants(k, scale):
+        return jax.tree.map(
+            lambda *xs: jnp.stack([x * scale for x in xs]),
+            *(c_variants[(i % len(c_variants))] for i in range(k)),
+        )
+
+    amort_detail = {}
+    try:
+        k_lo, k_hi = (2, 6) if args.tiny else (2, 10)
+        times = {}
+        for k in (k_lo, k_hi):
+            st = stack_variants(k, 1.0)
+            np.asarray(repeat_decode(tp_amort, st, gate_pts, gate_feat,
+                                     gate_valid))  # warm/compile
+            best = np.inf
+            for r in range(max(args.repeats // 2, 2)):
+                st = stack_variants(k, 1.0 + 1e-3 * (r + 1))
+                t0 = time.time()
+                np.asarray(repeat_decode(tp_amort, st, gate_pts, gate_feat,
+                                         gate_valid))
+                best = min(best, time.time() - t0)
+            times[k] = best
+        slope = (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+        if slope > 0:
+            amort_detail = {
+                "decode_device_s_est": round(slope, 4),
+                "decode_device_pts_per_sec_est": round(n_points / slope, 1),
+            }
+    except Exception as e:  # best-effort: never sink the headline metric
+        amort_detail = {"decode_device_est_error": repr(e)[:120]}
 
     # --- end-to-end object latency (steady state, fresh inputs; min of
     # repeats — the harness tunnel has high latency variance) -------------
@@ -417,7 +510,17 @@ def main():
                 n_points=tcfg["data"]["points_subsample"],
                 n_cloud=tcfg["data"]["pointcloud_n"],
             )
-            fused = trainer.make_fused_train_fn(
+            # the fused block runs the production-fast recipe (bf16 mixed
+            # precision + dead-t2d elision, configs/VTacO/VTacO_YCB_fast.yaml)
+            # so the JSON shows both the plain-f32 per-dispatch step above
+            # and the shipped fast path
+            fast_trainer = Trainer.from_config(
+                model, tcfg, mesh_bank=bank, remat=args.train_remat,
+                skip_unused_t2d=True, compute_dtype="bfloat16",
+            )
+            tstate = fast_trainer.init_state(batch)
+            train_detail["train_fused_recipe"] = "bf16+skip_unused_t2d"
+            fused = fast_trainer.make_fused_train_fn(
                 dds, loader.n_points, loader.n_cloud
             )
             # AOT-compile once: the Compiled handle is reused for every
@@ -481,7 +584,16 @@ def main():
             "decode_module_s": round(t_decode_module, 4),
             "decode_scattered_s": round(t_scatter, 4),
             "decode_first_s": round(t_decode_first, 2),
+            # the reference's per-chunk-dispatch decode pattern
+            # (generation.py:338-383) on the same hardware + its ratio to
+            # the fused single-dispatch headline above
+            "decode_reference_pattern_s": round(t_ref_pattern, 4),
+            "decode_vs_reference_pattern": round(t_ref_pattern / t_decode, 2),
+            **amort_detail,
             "object_latency_s": round(t_object, 4),
+            # encode_s is a min over distinct inputs; object_latency_s
+            # overlaps encode with the async decode dispatch, so it is NOT
+            # a sum of the component timings
             "encode_s": round(t_encode, 4),
             "encode_compile_s": round(t_encode_compile, 2),
             "init_s": round(t_init, 2),
