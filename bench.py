@@ -58,18 +58,25 @@ def main():
                          "dispatch over a device-resident dataset with the "
                          "production-fast recipe (bf16 mixed precision + "
                          "skip_unused_t2d); 0 disables")
-    ap.add_argument("--mise", action="store_true",
-                    help="also measure 256^3 MISE multi-resolution extraction")
-    ap.add_argument("--batch-objects", type=int, default=0, metavar="B",
+    ap.add_argument("--mise", action="store_true", default=None,
+                    help="also measure 256^3 MISE multi-resolution "
+                         "extraction (default on except --tiny)")
+    ap.add_argument("--no-mise", dest="mise", action="store_false")
+    ap.add_argument("--batch-objects", type=int, default=None, metavar="B",
                     help="also measure batched multi-object serving: encode "
                          "B objects, batched dense decode, host MC per "
-                         "object (reports objects/s/chip)")
+                         "object (reports objects/s/chip; default 8 except "
+                         "--tiny)")
     ap.add_argument("--gating", default="contact",
                     choices=("contact", "tips", "none"),
                     help="tactile-feature gating mode for the decode "
                          "(contact materializes a (640, nx^3) distance "
                          "field — use 'none' for nx > 128)")
     args = ap.parse_args()
+    if args.mise is None:
+        args.mise = not args.tiny
+    if args.batch_objects is None:
+        args.batch_objects = 0 if args.tiny else 8
 
     import jax
 
@@ -447,6 +454,45 @@ def main():
             "mise256_first_s": round(t_mise_first, 1),
             "mise256_verts": int(len(verts_m)),
         }
+
+        if args.batch_objects > 0:
+            # batched MISE serving (BASELINE config 5): B objects refined
+            # in lockstep — coarse batched dense decode + padded batched
+            # boundary queries, then host marching cubes per object
+            from vtaco_tpu.generate.mise import multires_decode_batched
+
+            Bm = args.batch_objects
+            cB_mise = jax.tree.map(
+                lambda x: jnp.concatenate(
+                    [x * (1.0 + 0.03 * b) for b in range(Bm)], axis=0
+                ),
+                c,
+            )
+
+            def serve_mise(cB):
+                grids = multires_decode_batched(gen, state, cB, 64, 2, level)
+                return [
+                    marching_cubes(g[:-1, :-1, :-1], level=level,
+                                   gradient="ascent")
+                    for g in grids
+                ]
+
+            serve_mise(cB_mise)  # warm/compile
+            t_mise_b = np.inf
+            for r in range(2):
+                cB_v = jax.tree.map(lambda x: x * (1.0 + 1e-3 * (r + 1)),
+                                    cB_mise)
+                t0 = time.time()
+                meshes_m = serve_mise(cB_v)
+                t_mise_b = min(t_mise_b, time.time() - t0)
+            mise_detail.update(
+                mise256_batched_objects=Bm,
+                mise256_batched_total_s=round(t_mise_b, 3),
+                mise256_batched_objects_per_sec=round(Bm / t_mise_b, 2),
+                mise256_batched_verts=int(
+                    np.mean([len(v) for v, _ in meshes_m])
+                ),
+            )
 
     train_detail = {}
     if args.train:

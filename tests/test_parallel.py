@@ -75,6 +75,53 @@ def test_2d_mesh_dp_decode(rng):
     np.testing.assert_allclose(sharded, single, atol=1e-5)
 
 
+def test_batched_points_decode(rng):
+    """decode_points_batched == the per-object chunked decode, on and off
+    the device mesh (same padded-chunk math, one dispatch)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, cp, state = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1,
+                      points_batch_size=64)
+    B, R, C = 4, 6, 8
+    cB = {"grid": jnp.asarray(rng.standard_normal((B, R, R, R, C)),
+                              jnp.float32)}
+    pts = rng.uniform(-0.5, 0.5, (B, 150, 3)).astype(np.float32)
+    out = gen.decode_points_batched(state, pts, cB)
+    assert out.shape == (B, 150)
+    for b in (0, 3):
+        one = gen.eval_points(state, pts[b], {"grid": cB["grid"][b : b + 1]})
+        np.testing.assert_allclose(out[b], one, atol=1e-2)
+
+    mesh = make_mesh(data=4)
+    out_dp = gen.decode_points_batched(state, pts, cB, device_mesh=mesh)
+    np.testing.assert_allclose(out_dp, out, atol=1e-2)
+
+
+def test_batched_mise_matches_single(rng):
+    """Batched DP MISE refinement (coarse batched dense + lockstep padded
+    refinement) equals per-object multires_decode."""
+    from vtaco_tpu.generate.generator import Generator3D
+    from vtaco_tpu.generate.mise import multires_decode, multires_decode_batched
+
+    model, cp, state = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1,
+                      points_batch_size=64)
+    B, R, C = 4, 6, 8
+    cB = {"grid": jnp.asarray(rng.standard_normal((B, R, R, R, C)),
+                              jnp.float32)}
+    mesh = make_mesh(data=4)
+    level = 0.0
+    grids = multires_decode_batched(gen, state, cB, 8, 1, level,
+                                    device_mesh=mesh)
+    assert len(grids) == B and grids[0].shape == (17, 17, 17)
+    for b in (0, 2):
+        single = multires_decode(gen, state, {"grid": cB["grid"][b : b + 1]},
+                                 8, 1, level, chunk=64)
+        # bf16 transfer on the batched path vs f32 single path → loose atol
+        np.testing.assert_allclose(grids[b], single, atol=2e-2)
+
+
 def test_dp_training_with_eval(rng):
     """DP train + B=1 eval through the same trainer (eval batches don't
     divide the mesh and must replicate instead of crashing)."""

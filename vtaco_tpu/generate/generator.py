@@ -630,6 +630,63 @@ class Generator3D:
         return np.asarray(logits).astype(np.float32)
 
     # ------------------------------------------------------------------
+    def decode_points_batched(self, state, pts_b, c_batched, device_mesh=None,
+                              transfer_dtype=jnp.bfloat16):
+        """Batched scattered decode: (B, M, 3) host points against (B, ...)
+        feature fields → (B, M) logits, all in ONE dispatch (lax.map over
+        padded point chunks of a vmap over the object axis).
+
+        The per-object companion to :meth:`decode_dense_batched` — it powers
+        batched MISE refinement (mise.multires_decode_batched), where each
+        object needs a different, irregular set of boundary queries per
+        level. With ``device_mesh`` the object axis shards over the mesh's
+        'data' chips (DP serving).
+        """
+        variables = self._vars(state)
+        pts_b = np.asarray(pts_b, np.float32)
+        B, M = pts_b.shape[:2]
+        bs = self.points_batch_size
+        k = max(1, -(-M // bs))
+        pts_pad = np.zeros((B, k * bs, 3), np.float32)
+        pts_pad[:, :M] = pts_b
+        stacked = jnp.asarray(pts_pad.reshape(B, k, bs, 3).transpose(1, 0, 2, 3))
+        cache = getattr(self, "_decode_pts_batched_cache", None)
+        if cache is None:
+            cache = self._decode_pts_batched_cache = {}
+        mesh_key = id(device_mesh) if device_mesh is not None else None
+        if mesh_key not in cache:
+            def per_sample(variables, pts_s, c_s):
+                c1 = jax.tree.map(lambda x: x[None], c_s)
+                return self._decode_chunk_impl(
+                    variables, pts_s, c1, jnp.zeros((1, 3)),
+                    jnp.zeros((1, 1)), jnp.zeros((1,), bool), "none",
+                )
+
+            def fn(variables, pts_k, cB):
+                return jax.lax.map(
+                    lambda ch: jax.vmap(
+                        per_sample, in_axes=(None, 0, 0)
+                    )(variables, ch, cB),
+                    pts_k,
+                )  # (k, B, bs)
+
+            cache[mesh_key] = jax.jit(fn)
+        if device_mesh is not None:
+            # explicit placement (device_put reshards committed arrays;
+            # jit in_shardings would reject them): objects over 'data'
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from vtaco_tpu.parallel.mesh import shard_batch
+
+            c_batched = shard_batch(device_mesh, c_batched)
+            stacked = jax.device_put(
+                stacked, NamedSharding(device_mesh, P(None, "data"))
+            )
+        out = cache[mesh_key](variables, stacked, c_batched)
+        host = np.asarray(out.astype(transfer_dtype)).astype(np.float32)
+        return host.transpose(1, 0, 2).reshape(B, k * bs)[:, :M]
+
+    # ------------------------------------------------------------------
     def generate_obj_mesh_wnf(self, state, data):
         """Dense-grid decode + marching cubes + metrics.
 

@@ -251,3 +251,62 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
         mg.update(pts, vals)
 
     return mg.values
+
+
+def multires_decode_batched(generator, state, c_batched, resolution0,
+                            upsampling_steps, thresholds, device_mesh=None):
+    """Batched MISE: B objects refined in lockstep, one dispatch per stage.
+
+    The serving-side counterpart of :func:`multires_decode` — the coarse
+    level is ONE batched dense decode (Generator3D.decode_dense_batched,
+    optionally sharded over a device mesh's 'data' axis), and every
+    refinement level gathers all B objects' active-boundary queries into a
+    single padded (B, M, 3) batched scattered decode
+    (Generator3D.decode_points_batched). The single-GPU reference serves
+    objects one at a time (inferencing.py:59-183 loops its batch through
+    generate_obj_mesh); here the whole flight shares each XLA dispatch.
+
+    ``thresholds`` is a scalar or per-object sequence of iso levels (in
+    logit space). Returns a list of B value grids at the final resolution.
+    """
+    import jax
+
+    B = jax.tree.leaves(c_batched)[0].shape[0]
+    if np.isscalar(thresholds):
+        thresholds = [float(thresholds)] * B
+    box_size = 1 + generator.padding
+
+    n0 = resolution0 + 1
+    vals0 = generator.decode_dense_batched(
+        state, n0, c_batched, device_mesh=device_mesh
+    )
+    mgs = []
+    for b in range(B):
+        mg = MultiGridExtractor(resolution0, thresholds[b], invert=False)
+        v = vals0[b].reshape(n0, n0, n0)
+        pts0 = mg.query()
+        mg.update(pts0, v[pts0[:, 0], pts0[:, 1], pts0[:, 2]])
+        mgs.append(mg)
+
+    for _ in range(upsampling_steps):
+        ptss = []
+        for mg in mgs:
+            mg.increase_resolution()
+            ptss.append(mg.query())
+        M = max(len(p) for p in ptss)
+        if M == 0:
+            continue
+        coords = np.zeros((B, M, 3), np.float32)
+        for b, p in enumerate(ptss):
+            if len(p):
+                coords[b, : len(p)] = box_size * (
+                    p.astype(np.float32) / mgs[b].resolution - 0.5
+                )
+        vals = generator.decode_points_batched(
+            state, coords, c_batched, device_mesh=device_mesh
+        )
+        for b, p in enumerate(ptss):
+            if len(p):
+                mgs[b].update(p, vals[b, : len(p)])
+
+    return [mg.values for mg in mgs]
