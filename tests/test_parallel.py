@@ -122,12 +122,35 @@ def test_batched_mise_matches_single(rng):
         np.testing.assert_allclose(grids[b], single, atol=2e-2)
 
 
+def _tiny_train_cfg(root, mesh_root):
+    import os
+
+    from vtaco_tpu.core.config import load_config
+
+    cfg = load_config("configs/VTacO/VTacO_YCB.yaml", "configs/default.yaml")
+    cfg["data"].update(
+        path=root, points_subsample=128, pointcloud_n=64, num_sample=128,
+        mesh_dir=os.path.join(mesh_root, "mesh_obj"),
+        depth_origin=os.path.join(mesh_root, "depth_origin.txt"),
+    )
+    m = cfg["model"]
+    m["encoder_kwargs"].update(hidden_dim=8, grid_resolution=8)
+    m["encoder_kwargs"]["unet3d_kwargs"].update(num_levels=2, f_maps=8,
+                                                out_channels=32)
+    m["encoder_hand_kwargs"].update(hidden_dim=8, plane_resolution=8)
+    m["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
+    tk = m["encoder_t2d_kwargs"]
+    tk["encoder_hand_kwargs"].update(hidden_dim=8, plane_resolution=8)
+    tk["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
+    tk["encoder_img_kwargs"].update(depth=2, start_filts=8)
+    m["decoder_kwargs"].update(hidden_size=16)
+    return cfg
+
+
 def test_dp_training_with_eval(rng):
     """DP train + B=1 eval through the same trainer (eval batches don't
     divide the mesh and must replicate instead of crashing)."""
-    import os
-
-    from vtaco_tpu.core.config import get_dataset, get_model, load_config
+    from vtaco_tpu.core.config import get_dataset, get_model
     from vtaco_tpu.data import BatchLoader
     from vtaco_tpu.data.synthetic import generate
     from vtaco_tpu.train.loop import build_mesh_bank
@@ -138,23 +161,7 @@ def test_dp_training_with_eval(rng):
     with tempfile.TemporaryDirectory() as tmp:
         root, mesh_root = generate(tmp, n_models=4, n_query=300,
                                    n_surface=400, img_h=16, img_w=12, seed=2)
-        cfg = load_config("configs/VTacO/VTacO_YCB.yaml", "configs/default.yaml")
-        cfg["data"].update(
-            path=root, points_subsample=128, pointcloud_n=64, num_sample=128,
-            mesh_dir=os.path.join(mesh_root, "mesh_obj"),
-            depth_origin=os.path.join(mesh_root, "depth_origin.txt"),
-        )
-        m = cfg["model"]
-        m["encoder_kwargs"].update(hidden_dim=8, grid_resolution=8)
-        m["encoder_kwargs"]["unet3d_kwargs"].update(num_levels=2, f_maps=8,
-                                                    out_channels=32)
-        m["encoder_hand_kwargs"].update(hidden_dim=8, plane_resolution=8)
-        m["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
-        tk = m["encoder_t2d_kwargs"]
-        tk["encoder_hand_kwargs"].update(hidden_dim=8, plane_resolution=8)
-        tk["encoder_hand_kwargs"]["unet_kwargs"].update(depth=2, start_filts=8)
-        tk["encoder_img_kwargs"].update(depth=2, start_filts=8)
-        m["decoder_kwargs"].update(hidden_size=16)
+        cfg = _tiny_train_cfg(root, mesh_root)
 
         mesh = make_mesh(data=2)
         model, _ = get_model(cfg)
@@ -183,3 +190,58 @@ def test_dp_training_with_eval(rng):
         state, scal = fused(state, jax.random.PRNGKey(3), jnp.asarray(ids))
         assert all(np.isfinite(np.asarray(v)).all() for v in scal.values())
         assert int(state.step) == 3  # 1 earlier train_step + 2 fused
+
+
+def test_tp_training_matches_dp(rng):
+    """Tensor parallelism over the 'model' axis (parallel/tp.py): a
+    (data=2, model=2) mesh with conv-channel-sharded params runs the same
+    train step as the DP-only (data=2) mesh — same loss, same updated
+    params — with the wide kernels genuinely partitioned."""
+    from jax.sharding import PartitionSpec as P
+
+    from vtaco_tpu.core.config import get_dataset, get_model
+    from vtaco_tpu.data import BatchLoader
+    from vtaco_tpu.data.synthetic import generate
+    from vtaco_tpu.parallel.tp import shard_state, tp_spec
+    from vtaco_tpu.train.loop import build_mesh_bank
+    from vtaco_tpu.train.trainer import Trainer
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root, mesh_root = generate(tmp, n_models=4, n_query=300,
+                                   n_surface=400, img_h=16, img_w=12, seed=2)
+        cfg = _tiny_train_cfg(root, mesh_root)
+        model, _ = get_model(cfg)
+        ds = get_dataset("train", cfg)
+        bank = build_mesh_bank(cfg)
+        batch = next(iter(BatchLoader(ds, 2, num_workers=1, seed=0)))
+
+        mesh_dp = make_mesh(data=2)
+        tr_dp = Trainer.from_config(model, cfg, mesh_bank=bank,
+                                    device_mesh=mesh_dp, contact_per_finger=16)
+        state0 = tr_dp.init_state(batch)
+        state_dp, sc_dp = tr_dp.train_step(state0, batch)
+
+        mesh_tp = make_mesh(data=2, model=2)
+        tr_tp = Trainer.from_config(model, cfg, mesh_bank=bank,
+                                    device_mesh=mesh_tp, contact_per_finger=16)
+        state_tp0 = shard_state(mesh_tp, state0, min_shard=4)
+        # the rule actually partitions: every rank≥2 kernel whose last axis
+        # divides evenly at ≥4/chip carries a 'model' spec
+        sharded = [
+            x for x in jax.tree.leaves(state_tp0.params)
+            if x.ndim >= 2 and x.sharding.spec == P(*([None] * (x.ndim - 1)
+                                                      + ["model"]))
+        ]
+        assert len(sharded) >= 5, "TP sharding rule partitioned nothing"
+        state_tp, sc_tp = tr_tp.train_step(state_tp0, batch)
+
+        np.testing.assert_allclose(sc_tp["loss"], sc_dp["loss"], rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(state_tp.params),
+                        jax.tree.leaves(state_dp.params)):
+            # sharded collectives reorder the reductions; Adam's
+            # grad/sqrt(nu) normalization amplifies that float noise near
+            # zero-gradient entries — tolerance covers reordering only
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=5e-3)

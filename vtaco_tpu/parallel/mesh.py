@@ -10,8 +10,12 @@ collectives over ICI:
     generation time — the natural "sequence parallelism" of an occupancy
     network (each chip decodes a slab of the dense grid; the host gathers
     logits for marching cubes).
-  * a ``model`` axis is reserved for tensor parallelism; at this model
-    scale (~16M params) it stays size 1.
+  * a ``model`` axis for tensor parallelism (``parallel/tp.py``): conv
+    output channels / dense output features are partitioned over it and
+    GSPMD inserts the collectives. Functional at any ``training.mesh.model``
+    that divides the channel widths; at this model scale (~11M params,
+    UNet3D channels 32-384) DP is the recommended axis — see
+    docs/DESIGN.md "model-axis study" for the measured numbers.
 """
 
 from __future__ import annotations

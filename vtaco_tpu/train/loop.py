@@ -203,6 +203,13 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
     if not np.isfinite(metric_val_best):
         metric_val_best = -sign * np.inf
 
+    if device_mesh is not None:
+        # commit the state to the mesh: TP-sharded over 'model' when that
+        # axis is >1 (training.mesh.model), plain replication otherwise
+        from vtaco_tpu.parallel.tp import shard_state
+
+        state = shard_state(device_mesh, state)
+
     nparams = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
     print("Total number of parameters: %d" % nparams)
     print("output path: ", out_dir)
@@ -231,7 +238,9 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
             import threading
 
             def _precompile(abs_state=jax.tree.map(
-                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)):
+                    lambda x: jax.ShapeDtypeStruct(
+                        x.shape, x.dtype,
+                        sharding=getattr(x, "sharding", None)), state)):
                 try:
                     ids = jax.ShapeDtypeStruct((val_dds.n_models, 1), np.int32)
                     fused_val.lower(abs_state, ids).compile()
