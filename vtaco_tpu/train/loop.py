@@ -31,13 +31,34 @@ from vtaco_tpu.utils import meshio
 
 
 class JsonlLogger:
-    def __init__(self, path):
+    """Scalar logger: always jsonl (machine-checkable, greppable), plus
+    optional TensorBoard event files for surface parity with the
+    reference's ``SummaryWriter(os.path.join(out_dir, 'logs'))``
+    (train.py:148) — enable with ``training.tensorboard: true``."""
+
+    def __init__(self, path, tensorboard=False):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         self.f = open(path, "a")
+        self.tb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(os.path.dirname(path))
+            except ImportError:
+                print("Warning: training.tensorboard=true but tensorboardX "
+                      "is not installed; writing jsonl only")
 
     def add_scalar(self, tag, value, step):
         self.f.write(json.dumps({"tag": tag, "value": float(value), "it": int(step)}) + "\n")
         self.f.flush()
+        if self.tb is not None:
+            self.tb.add_scalar(tag, float(value), int(step))
+
+    def close(self):
+        self.f.close()
+        if self.tb is not None:
+            self.tb.close()
 
 
 def build_mesh_bank(cfg, dataset=None) -> Optional[MeshBank]:
@@ -214,7 +235,8 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
     print("Total number of parameters: %d" % nparams)
     print("output path: ", out_dir)
 
-    logger = JsonlLogger(os.path.join(out_dir, "logs", "metrics.jsonl"))
+    logger = JsonlLogger(os.path.join(out_dir, "logs", "metrics.jsonl"),
+                         tensorboard=cfg["training"].get("tensorboard", False))
     generator = generator_factory(model, cfg, bank) if generator_factory else None
 
     from vtaco_tpu.utils.profiling import ProfiledRegion, StepTimer, debug_nans
@@ -370,4 +392,5 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
     ckpt.register_modules(state=state)
     ckpt.save("model.ckpt", epoch_it=epoch_it, it=it,
               loss_val_best=metric_val_best)
+    logger.close()
     return state, it
