@@ -43,6 +43,10 @@ def main():
                          "(adds a multi-minute grad compile); default on so "
                          "the driver-recorded JSON carries training numbers")
     ap.add_argument("--no-train", dest="train", action="store_false")
+    ap.add_argument("--pallas-compare", action="store_true",
+                    help="also run the K-amortized device estimate with the "
+                         "Pallas fused trunk and report it next to the XLA "
+                         "trunk's (docs/DESIGN.md 'Pallas verdict')")
     ap.add_argument("--train-batch", type=int, default=3)
     ap.add_argument("--train-remat", action="store_true",
                     help="rematerialize activations (bigger train batches)")
@@ -320,14 +324,17 @@ def main():
     )
     leaky_amort = getattr(model.decoder, "leaky", False)
 
-    @jax.jit
-    def repeat_decode(tp, c_stack, gpts, gfeat, gvalid):
-        def one(ci):
-            return gen._decode_dense_fast_impl(
-                tp, ci, gpts, gfeat, gvalid, nx=nx, gating=args.gating,
-                dtype=jnp.float32, leaky=leaky_amort,
-            ).mean()
-        return jax.lax.map(one, c_stack)
+    def make_repeat_decode(use_pallas):
+        @jax.jit
+        def repeat_decode(tp, c_stack, gpts, gfeat, gvalid):
+            def one(ci):
+                return gen._decode_dense_fast_impl(
+                    tp, ci, gpts, gfeat, gvalid, nx=nx, gating=args.gating,
+                    dtype=jnp.float32, use_pallas=use_pallas,
+                    leaky=leaky_amort,
+                ).mean()
+            return jax.lax.map(one, c_stack)
+        return repeat_decode
 
     def stack_variants(k, scale):
         return jax.tree.map(
@@ -335,8 +342,8 @@ def main():
             *(c_variants[(i % len(c_variants))] for i in range(k)),
         )
 
-    amort_detail = {}
-    try:
+    def amortized_slope(use_pallas):
+        repeat_decode = make_repeat_decode(use_pallas)
         k_lo, k_hi = (2, 6) if args.tiny else (2, 10)
         times = {}
         for k in (k_lo, k_hi):
@@ -351,14 +358,30 @@ def main():
                                          gate_valid))
                 best = min(best, time.time() - t0)
             times[k] = best
-        slope = (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+        return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+
+    # primary estimate runs the trunk the framework actually defaults to
+    # (Pallas on TPU, XLA elsewhere/leaky); --pallas-compare adds the
+    # other trunk's slope for the DESIGN.md A/B record.
+    pallas_default = gen._pallas_enabled() and not leaky_amort
+    amort_detail = {}
+    try:
+        slope = amortized_slope(pallas_default)
         if slope > 0:
             amort_detail = {
                 "decode_device_s_est": round(slope, 4),
                 "decode_device_pts_per_sec_est": round(n_points / slope, 1),
+                "decode_device_trunk": "pallas" if pallas_default else "xla",
             }
     except Exception as e:  # best-effort: never sink the headline metric
         amort_detail = {"decode_device_est_error": repr(e)[:120]}
+    if args.pallas_compare:
+        other = "xla" if pallas_default else "pallas"
+        try:
+            slope_o = amortized_slope(not pallas_default)
+            amort_detail[f"decode_device_s_est_{other}"] = round(slope_o, 4)
+        except Exception as e:
+            amort_detail[f"decode_device_est_{other}_error"] = repr(e)[:120]
 
     # --- end-to-end object latency (steady state, fresh inputs; min of
     # repeats — the harness tunnel has high latency variance) -------------

@@ -62,6 +62,7 @@ class Generator3D:
         legacy_gt_depth=True,
         matmul_precision="highest",
         mc_level="midpoint",
+        use_pallas="auto",
     ):
         """``matmul_precision``: precision context for the encoder/decoder
         applies ('highest' preserves the package default for metric parity;
@@ -75,7 +76,13 @@ class Generator3D:
         logit scale is compressed (weakly generalized models emit border
         noise that crosses the midpoint and produces a box-shell — a
         mean+2σ-class level measured 2.5× better chamfer on such a
-        checkpoint; well-trained models are insensitive to the choice)."""
+        checkpoint; well-trained models are insensitive to the choice).
+
+        ``use_pallas``: route dense decodes through the fused Mosaic
+        trunk (ops/pallas/decode.py). 'auto' (default) enables it on the
+        TPU backend only — measured +22%/+24% device decode throughput at
+        128³/256³ on v5e vs the XLA trunk (docs/DESIGN.md § Pallas
+        verdict); CPU/GPU and leaky-ReLU decoders use the XLA trunk."""
         self.model = model
         self.matmul_precision = matmul_precision
         self._apply_cache = {}
@@ -92,6 +99,12 @@ class Generator3D:
                 f"number (logit-space iso level); got {mc_level!r}"
             )
         self.mc_level = mc_level
+        if use_pallas not in ("auto", True, False):
+            raise ValueError(
+                "generation.use_pallas must be 'auto', true, or false; "
+                f"got {use_pallas!r}"
+            )
+        self.use_pallas = use_pallas
         self.resolution0 = resolution0
         self.upsampling_steps = upsampling_steps
         self.padding = padding
@@ -178,8 +191,19 @@ class Generator3D:
             vol_bound=vol_bound,
             **{"matmul_precision": gen.get("matmul_precision", "highest"),
                "mc_level": gen.get("mc_level", "midpoint"),
+               "use_pallas": gen.get("use_pallas", "auto"),
                **kw},
         )
+
+    # ------------------------------------------------------------------
+    def _pallas_enabled(self):
+        """Resolve the ``use_pallas`` setting: 'auto' means TPU backend
+        only (the Mosaic kernel has no CPU/GPU lowering here; tests run
+        the interpreter explicitly). Per-call ``use_pallas=None`` in the
+        decode entry points defers to this."""
+        if self.use_pallas == "auto":
+            return jax.default_backend() == "tpu"
+        return bool(self.use_pallas)
 
     # ------------------------------------------------------------------
     def _vars(self, state):
@@ -336,7 +360,7 @@ class Generator3D:
     def eval_points_dense(self, state, nx, c, gating="none", gate_pts=None,
                           gate_feat=None, gate_valid=None, fast=True,
                           dtype=jnp.float32, return_device=False,
-                          transfer_dtype=jnp.bfloat16, use_pallas=False):
+                          transfer_dtype=jnp.bfloat16, use_pallas=None):
         """Dense nx³ decode (single dispatch). Returns host (nx³,) logits
         flattened x-slowest (the make_3d_grid / reference ordering).
 
@@ -377,6 +401,8 @@ class Generator3D:
         program that actually runs."""
         from vtaco_tpu.ops import fast_trunk as FT
 
+        if use_pallas is None:
+            use_pallas = self._pallas_enabled()
         if gate_pts is None:
             gate_pts = jnp.zeros((1, 3))
             gate_feat = jnp.zeros((1, 1))
@@ -391,7 +417,7 @@ class Generator3D:
 
     def lower_dense_fast(self, state, nx, c, gating="none", gate_pts=None,
                          gate_feat=None, gate_valid=None, dtype=jnp.float32,
-                         use_pallas=False):
+                         use_pallas=None):
         """jax.stage the fast dense-decode program (no execution) — for
         cost analysis / AOT inspection."""
         return self._decode_dense_fast.lower(
