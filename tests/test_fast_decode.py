@@ -121,6 +121,25 @@ def test_pallas_trunk_matches(rng):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
 
 
+def test_pallas_trunk_vmapped_matches(rng):
+    """vmap-of-Pallas — the batched serving trunk decode_dense_batched
+    defaults to on TPU — must match the vmapped XLA trunk per object.
+    Interpret mode here; the real-chip A/B (136.9 vs 129.5 M pts/s at
+    B=8×128³, exact f32 vs bf16) is recorded in docs/DESIGN.md."""
+    from vtaco_tpu.ops.pallas.decode import fused_trunk_cn, pack_trunk_params
+
+    _, _, state, v = _setup(rng)
+    B, N, C = 3, 256, 8
+    tp = FT.extract_trunk_params(v["params"]["decoder"], 3, with_img=False)
+    p_cn = jnp.asarray(rng.uniform(-0.5, 0.5, (3, N)), jnp.float32)
+    featsB = jnp.asarray(rng.standard_normal((B, C, N)), jnp.float32)
+    packed = pack_trunk_params(tp, with_img=False)
+    got = jax.vmap(lambda f: fused_trunk_cn(packed, p_cn, f, tile=128,
+                                            interpret=True))(featsB)
+    want = jax.vmap(lambda f: FT.trunk_cn(tp, p_cn, f))(featsB)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_gating_cn_matches_reference_semantics(rng):
     """Matmul-based gating must equal the broadcast-difference gating."""
     from vtaco_tpu.generate.generator import Generator3D

@@ -605,7 +605,8 @@ class Generator3D:
 
     # ------------------------------------------------------------------
     def decode_dense_batched(self, state, nx, c_batched, device_mesh=None,
-                             dtype=jnp.float32, return_device=False):
+                             dtype=jnp.float32, return_device=False,
+                             use_pallas=None):
         """Data-parallel batched dense decode: (B, ...) feature fields →
         (B, nx³) logits, vmapped per sample and (optionally) sharded over
         the mesh's 'data' axis — the batched multi-object inference mode
@@ -614,6 +615,15 @@ class Generator3D:
         ``return_device=True`` returns the (bf16) device array WITHOUT
         blocking — the dispatch stays asynchronous, so callers can overlap
         host work (marching cubes) with the device computation.
+
+        On TPU the vmapped Pallas trunk is the default (use_pallas=None →
+        the generator's 'auto' setting): measured at B=8×128³ on v5e it
+        serves 136.9 M pts/s in exact f32 vs 129.5 M for the XLA trunk in
+        bf16, while the vmapped XLA *f32* program crashes the remote
+        compiler at that size. Because this Mosaic toolchain rejects bf16
+        MXU dots, the kernel always computes in f32 — a requested bf16
+        ``dtype`` only shapes the XLA fallback and the host transfer
+        (which stays bf16 either way).
 
         Gating-free path (plain occupancy decode); per-sample tactile
         gating uses generate_obj_mesh_wnf per item.
@@ -625,16 +635,21 @@ class Generator3D:
             with_img=False,
         )
         leaky = getattr(self.model.decoder, "leaky", False)
+        if use_pallas is None:
+            use_pallas = self._pallas_enabled()
+        use_pallas = bool(use_pallas) and not leaky
+        if use_pallas:
+            dtype = jnp.float32  # Mosaic rejects bf16 MXU dots (DESIGN.md)
         cache = getattr(self, "_decode_dense_vmapped", None)
         if cache is None:
             cache = self._decode_dense_vmapped = {}
-        key = (nx, jnp.dtype(dtype).name)
+        key = (nx, jnp.dtype(dtype).name, use_pallas)
         if key not in cache:
             def one(tp, c):
                 return self._decode_dense_fast_impl(
                     tp, c, jnp.zeros((1, 3)), jnp.zeros((1, 1)),
                     jnp.zeros((1,), bool), nx=nx, gating="none", dtype=dtype,
-                    leaky=leaky,
+                    use_pallas=use_pallas, leaky=leaky,
                 )
 
             def batched(tp, cB):
