@@ -130,7 +130,8 @@ class Generator3D:
         )
         self._decode_dense_fast = jax.jit(
             self._decode_dense_fast_impl,
-            static_argnames=("nx", "gating", "dtype", "use_pallas", "leaky"),
+            static_argnames=("nx", "gating", "dtype", "use_pallas", "leaky",
+                             "pallas_tile"),
         )
 
     @classmethod
@@ -323,7 +324,8 @@ class Generator3D:
 
     def _decode_dense_fast_impl(self, trunk_params, c, gate_pts, gate_feat,
                                 gate_valid, nx, gating, dtype,
-                                use_pallas=False, leaky=False):
+                                use_pallas=False, leaky=False,
+                                pallas_tile=None):
         """Channels-first whole-grid decode (ops.fast_trunk): feature
         upsampling, gating and the MLP all keep points on the lane
         dimension. Returns logits flattened z-slowest (caller transposes
@@ -353,7 +355,8 @@ class Generator3D:
 
             packed = pack_trunk_params(trunk_params, with_img=gating != "none",
                                        dtype=dtype)
-            return fused_trunk_cn(packed, p_cn, feats, c_img, dtype=dtype)
+            return fused_trunk_cn(packed, p_cn, feats, c_img, dtype=dtype,
+                                  tile=pallas_tile)
         return FT.trunk_cn(trunk_params, p_cn, feats, c_img, dtype=dtype,
                            leaky=leaky)
 
@@ -650,6 +653,9 @@ class Generator3D:
                     tp, c, jnp.zeros((1, 3)), jnp.zeros((1, 1)),
                     jnp.zeros((1,), bool), nx=nx, gating="none", dtype=dtype,
                     use_pallas=use_pallas, leaky=leaky,
+                    # under vmap, Mosaic compiles crash below tile 4096
+                    # (ops/pallas/decode.py docstring) — pin it
+                    pallas_tile=4096 if use_pallas else None,
                 )
 
             def batched(tp, cB):

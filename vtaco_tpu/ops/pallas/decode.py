@@ -62,10 +62,17 @@ def pack_trunk_params(tp, with_img: bool, dtype=jnp.float32):
 
 
 def _trunk_kernel(n_blocks, dtype,
-                  w_in, b_in, wc, bc, w0, b0, w1, b1, w_out, b_out,
+                  w_in, b_in, wcp, bcp, w0, b0, w1, b1, w_out, b_out,
                   x_ref, feats_ref, out_ref):
     """x_ref: (in_dim, T) input projection operand (coords [+ c_img]);
-    feats_ref: (C, T) interpolated features; out_ref: (1, T) logits."""
+    feats_ref: (C, T) interpolated features; out_ref: (1, T) logits.
+
+    The n_blocks conditioning projections all consume the same `feats`,
+    so they run as ONE (n_blocks·h, C) @ (C, T) dot up front — a 5×
+    taller matmul uses the 128-row MXU far better than five 32-row dots
+    (the per-block h=32 is only a quarter of the systolic array), and
+    the f32 `cond` rows are then added into the residual chain by static
+    slicing."""
 
     def dot(w, x):
         return jax.lax.dot_general(
@@ -73,10 +80,15 @@ def _trunk_kernel(n_blocks, dtype,
             preferred_element_type=jnp.float32,
         )
 
-    feats = feats_ref[:]
-    net = dot(w_in, x_ref[:]) + b_in[:]
+    # feats may be stored narrower (bf16) than the compute dtype: the
+    # cast happens in VMEM, the MXU dots stay `dtype` (f32 — this Mosaic
+    # toolchain rejects bf16 MXU dots).
+    feats = feats_ref[:].astype(dtype)
+    h_dim = w_in.shape[0]
+    cond = dot(wcp, feats) + bcp[:]                      # (n_blocks·h, T)
+    net = dot(w_in, x_ref[:].astype(dtype)) + b_in[:]
     for i in range(n_blocks):
-        net = net + dot(wc[i], feats) + bc[i]
+        net = net + cond[i * h_dim:(i + 1) * h_dim]
         h = dot(w0[i], jnp.maximum(net, 0.0).astype(dtype)) + b0[i]
         dx = dot(w1[i], jnp.maximum(h, 0.0).astype(dtype)) + b1[i]
         net = net + dx
@@ -85,24 +97,44 @@ def _trunk_kernel(n_blocks, dtype,
 
 
 def fused_trunk_cn(packed, p_cn, feats_cn, c_img_cn=None, *,
-                   tile: int = 8192, dtype=jnp.float32, interpret=False):
+                   tile=None, dtype=jnp.float32, store_dtype=None,
+                   interpret=False):
     """Fused decoder trunk over (C, N) activations.
 
     Args:
       packed: pack_trunk_params output.
       p_cn: (3, N) coordinates; feats_cn: (C, N); c_img_cn optional (C, N).
+      tile: points per kernel instance. None picks the v5e-measured
+        optimum: 2048 for ≤2²²-point f32 grids (88.5 M pts/s at 128³),
+        4096 above (68.6 M at 256³) and for bf16 storage (90.9 M at
+        128³). 8192 exceeds VMEM with the f32 packed-cond buffers, and
+        vmapped (batched) callers crash the Mosaic compile below 4096 —
+        they must pass tile=4096 explicitly (see
+        Generator3D.decode_dense_batched).
+      store_dtype: HBM storage dtype for the streamed per-point tensors
+        (feats/coords/c_img). bf16 halves the kernel's HBM read traffic
+        (measured +11% at 256³); the in-kernel cast restores `dtype`
+        before any MXU dot, so the matmul math is unaffected (only the
+        streamed operands are rounded). None = store in `dtype`.
     Returns (N,) float32 logits. N must be a multiple of `tile`.
     """
     C, N = feats_cn.shape
+    if store_dtype is None:
+        store_dtype = dtype
+    if tile is None:
+        if jnp.dtype(store_dtype).itemsize < 4:
+            tile = 4096
+        else:
+            tile = 2048 if N <= 2 ** 22 else 4096
     if N < tile:
         tile = N
     while N % tile:
         tile //= 2
     n_blocks = packed["wc"].shape[0]
 
-    x = p_cn.astype(dtype)
+    x = p_cn.astype(store_dtype)
     if c_img_cn is not None:
-        x = jnp.concatenate([x, c_img_cn.astype(dtype)], axis=0)
+        x = jnp.concatenate([x, c_img_cn.astype(store_dtype)], axis=0)
     in_dim = x.shape[0]
 
     kernel = functools.partial(_trunk_kernel, n_blocks, dtype)
@@ -121,15 +153,18 @@ def fused_trunk_cn(packed, p_cn, feats_cn, c_img_cn=None, *,
         out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
     )
+    h_dim = packed["w_in"].shape[0]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        packed["w_in"], packed["b_in"], packed["wc"], packed["bc"],
+        packed["w_in"], packed["b_in"],
+        packed["wc"].reshape(n_blocks * h_dim, -1),
+        packed["bc"].reshape(n_blocks * h_dim, 1),
         packed["w0"], packed["b0"], packed["w1"], packed["b1"],
         packed["w_out"], packed["b_out"],
-        x, feats_cn.astype(dtype),
+        x, feats_cn.astype(store_dtype),
     )
     return out[0]
