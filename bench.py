@@ -27,6 +27,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _mark(msg):
+    """Stage marker on stderr (stdout carries only the final JSON line);
+    without these a cold-compile run looks hung for many minutes."""
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _wait_for_device(jax, budget_s: float = 900.0, poll_s: float = 30.0):
+    """First device, retrying backend init while the remote TPU worker is
+    unavailable (it recovers by itself after a wedge/restart; a one-shot
+    ``jax.devices()`` would fail the whole bench run)."""
+    deadline = time.time() + budget_s
+    while True:
+        try:
+            return jax.devices()[0]
+        except RuntimeError as e:
+            if time.time() >= deadline:
+                raise
+            print(f"# device init failed ({e}); retrying...",
+                  file=sys.stderr)
+            from jax.extend import backend as _jeb
+            _jeb.clear_backends()
+            time.sleep(poll_s)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -81,6 +106,10 @@ def main():
         args.mise = not args.tiny
     if args.batch_objects is None:
         args.batch_objects = 0 if args.tiny else 8
+    if args.tiny and "--train" not in sys.argv:
+        # --tiny is the fast smoke: skip the multi-minute grad + fused-scan
+        # compiles unless training was explicitly requested
+        args.train = False
 
     import jax
 
@@ -89,7 +118,11 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass
-        cache_dir = "/tmp/vtaco_jax_cache_cpu"
+        from vtaco_tpu.core.cache import _host_cpu_tag
+
+        # host-CPU fingerprint in the path: XLA:CPU AOT artifacts from a
+        # different machine (this VM live-migrates across hosts) can SIGILL
+        cache_dir = "/tmp/vtaco_jax_cache_cpu_" + _host_cpu_tag()
     else:
         cache_dir = "/tmp/vtaco_jax_cache_tpu"
     # persistent per-backend compile cache: repeat bench runs skip the
@@ -108,7 +141,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    dev = jax.devices()[0]
+    dev = _wait_for_device(jax)
+    _mark(f"device ready: {dev.platform}")
     # Warm the device→host transfer path: the first non-tiny transfer in a
     # process stalls ~30-200s on this harness's tunnel (size-independent,
     # ≥1MB); pay it here so no measured section absorbs it.
@@ -243,6 +277,7 @@ def main():
     # the only timing this harness's tunnel reports faithfully
     # (block_until_ready returns before remote execution completes here, so
     # "device-only" numbers are unmeasurable and not reported).
+    _mark("dense decode variants (first compile can take minutes)")
     values, t_decode_fast, t_decode_first = bench_dense(fast=True)
     _, t_decode_bf16, _ = bench_dense(fast=True, dtype=jnp.bfloat16)
     _, t_decode_module, _ = bench_dense(fast=False)
@@ -273,6 +308,7 @@ def main():
         pass  # cost analysis is best-effort (backend-dependent)
 
     # --- scattered (arbitrary-point) decode, chunked legacy path ---------
+    _mark("scattered decode")
     gen.eval_points(state, pointsf, c_variants[0], args.gating, gate_pts,
                     gate_feat, gate_valid)  # warmup/compile
     t0 = time.time()
@@ -303,9 +339,10 @@ def main():
             outs.append(np.asarray(logits)[: args.chunk - pad or None])
         return np.concatenate(outs)
 
+    _mark("reference-pattern baseline")
     reference_pattern_decode(c_variants[0], 1.0)  # warmup/compile
     t_ref_pattern = np.inf
-    for r in range(2):
+    for r in range(min(2, len(c_variants) - 1)):
         t0 = time.time()
         reference_pattern_decode(c_variants[r + 1], 1.0 + 1e-4 * (r + 1))
         t_ref_pattern = min(t_ref_pattern, time.time() - t0)
@@ -364,6 +401,7 @@ def main():
     # (Pallas on TPU, XLA elsewhere/leaky); --pallas-compare adds the
     # other trunk's slope for the DESIGN.md A/B record.
     pallas_default = gen._pallas_enabled() and not leaky_amort
+    _mark("K-amortized device-throughput estimate")
     amort_detail = {}
     try:
         slope = amortized_slope(pallas_default)
@@ -385,6 +423,7 @@ def main():
 
     # --- end-to-end object latency (steady state, fresh inputs; min of
     # repeats — the harness tunnel has high latency variance) -------------
+    _mark("end-to-end object latency")
     t_object = np.inf
     for r in range(max(args.repeats, 2)):
         pts2 = pts * (1.01 + 0.01 * r)
@@ -398,6 +437,7 @@ def main():
 
     batched_detail = {}
     if args.batch_objects > 0:
+        _mark(f"batched serving (B={args.batch_objects})")
         B = args.batch_objects
         enc_b = jax.jit(
             lambda v, x: model.apply(v, x, train=False,
@@ -459,6 +499,7 @@ def main():
 
     mise_detail = {}
     if args.mise:
+        _mark("MISE 256^3 extraction")
         from vtaco_tpu.generate.mise import multires_decode
 
         # refine around a level the random-weights field actually crosses
@@ -519,6 +560,7 @@ def main():
 
     train_detail = {}
     if args.train:
+        _mark("train-step benchmark (grad compile takes minutes)")
         import tempfile
 
         from vtaco_tpu.core.config import get_dataset

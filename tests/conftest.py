@@ -28,9 +28,13 @@ import pytest
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# NB: cache dir is backend-specific — entries written by the remote-TPU
-# host CPU are not safe to execute here (machine-feature mismatch).
-jax.config.update("jax_compilation_cache_dir", "/tmp/vtaco_jax_cache_cpu")
+# NB: cache dir is backend- AND host-CPU-specific — entries written by a
+# different machine (remote TPU host, or this VM before a live migration
+# to different hardware) can SIGILL here (machine-feature mismatch); the
+# helper fingerprints /proc/cpuinfo into the path.
+from vtaco_tpu.core.cache import enable_persistent_cache
+
+enable_persistent_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

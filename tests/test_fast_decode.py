@@ -121,6 +121,36 @@ def test_pallas_trunk_matches(rng):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5)
 
 
+def test_pallas_trunk_odd_n(rng):
+    """N not a multiple of the tile (e.g. the MISE coarse grid's
+    (reso+1)³) must zero-pad up to the tile, not collapse the tile to 1
+    lane — and bf16 store_dtype must round only the streamed operands."""
+    from vtaco_tpu.ops.pallas.decode import fused_trunk_cn, pack_trunk_params
+
+    _, _, state, v = _setup(rng)
+    N, C = 9 ** 3, 8  # odd, 729 = 5*128 + 89
+    tp = FT.extract_trunk_params(v["params"]["decoder"], 3, with_img=False)
+    p_cn = jnp.asarray(rng.uniform(-0.5, 0.5, (3, N)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    packed = pack_trunk_params(tp, with_img=False)
+
+    want = FT.trunk_cn(tp, p_cn, feats)
+    got = fused_trunk_cn(packed, p_cn, feats, tile=128, interpret=True)
+    assert got.shape == (N,)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # odd N smaller than the tile
+    got_small = fused_trunk_cn(packed, p_cn[:, :37], feats[:, :37],
+                               tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_small), np.asarray(want)[:37],
+                               atol=1e-5)
+
+    got_bf16 = fused_trunk_cn(packed, p_cn, feats, tile=128,
+                              store_dtype=jnp.bfloat16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_bf16), np.asarray(want),
+                               atol=0.05, rtol=0.05)
+
+
 def test_pallas_trunk_vmapped_matches(rng):
     """vmap-of-Pallas — the batched serving trunk decode_dense_batched
     defaults to on TPU — must match the vmapped XLA trunk per object.

@@ -353,9 +353,16 @@ class Generator3D:
                 pack_trunk_params,
             )
 
+            # this Mosaic toolchain rejects bf16 MXU dots: the kernel
+            # always computes f32; a narrower requested dtype becomes the
+            # HBM storage dtype of the streamed operands instead (the
+            # measured bf16-streaming mode, DESIGN.md § Pallas verdict)
+            narrow = jnp.dtype(dtype).itemsize < 4
             packed = pack_trunk_params(trunk_params, with_img=gating != "none",
-                                       dtype=dtype)
-            return fused_trunk_cn(packed, p_cn, feats, c_img, dtype=dtype,
+                                       dtype=jnp.float32)
+            return fused_trunk_cn(packed, p_cn, feats, c_img,
+                                  dtype=jnp.float32,
+                                  store_dtype=dtype if narrow else None,
                                   tile=pallas_tile)
         return FT.trunk_cn(trunk_params, p_cn, feats, c_img, dtype=dtype,
                            leaky=leaky)
@@ -697,11 +704,10 @@ class Generator3D:
         pts_pad = np.zeros((B, k * bs, 3), np.float32)
         pts_pad[:, :M] = pts_b
         stacked = jnp.asarray(pts_pad.reshape(B, k, bs, 3).transpose(1, 0, 2, 3))
-        cache = getattr(self, "_decode_pts_batched_cache", None)
-        if cache is None:
-            cache = self._decode_pts_batched_cache = {}
-        mesh_key = id(device_mesh) if device_mesh is not None else None
-        if mesh_key not in cache:
+        # one jitted fn serves every mesh: placement happens via
+        # device_put on the operands below, not inside the program
+        fn_jit = getattr(self, "_decode_pts_batched_fn", None)
+        if fn_jit is None:
             def per_sample(variables, pts_s, c_s):
                 c1 = jax.tree.map(lambda x: x[None], c_s)
                 return self._decode_chunk_impl(
@@ -717,7 +723,7 @@ class Generator3D:
                     pts_k,
                 )  # (k, B, bs)
 
-            cache[mesh_key] = jax.jit(fn)
+            fn_jit = self._decode_pts_batched_fn = jax.jit(fn)
         if device_mesh is not None:
             # explicit placement (device_put reshards committed arrays;
             # jit in_shardings would reject them): objects over 'data'
@@ -729,7 +735,7 @@ class Generator3D:
             stacked = jax.device_put(
                 stacked, NamedSharding(device_mesh, P(None, "data"))
             )
-        out = cache[mesh_key](variables, stacked, c_batched)
+        out = fn_jit(variables, stacked, c_batched)
         host = np.asarray(out.astype(transfer_dtype)).astype(np.float32)
         return host.transpose(1, 0, 2).reshape(B, k * bs)[:, :M]
 

@@ -116,7 +116,10 @@ def fused_trunk_cn(packed, p_cn, feats_cn, c_img_cn=None, *,
         (measured +11% at 256³); the in-kernel cast restores `dtype`
         before any MXU dot, so the matmul math is unaffected (only the
         streamed operands are rounded). None = store in `dtype`.
-    Returns (N,) float32 logits. N must be a multiple of `tile`.
+    Returns (N,) float32 logits. Any N: inputs are zero-padded up to a
+    multiple of `tile` (never shrink the tile — odd N, e.g. the MISE
+    coarse grid's (reso+1)³, would collapse it to 1 lane, and Mosaic
+    rejects tiny tiles in vmapped callers).
     """
     C, N = feats_cn.shape
     if store_dtype is None:
@@ -127,14 +130,18 @@ def fused_trunk_cn(packed, p_cn, feats_cn, c_img_cn=None, *,
         else:
             tile = 2048 if N <= 2 ** 22 else 4096
     if N < tile:
-        tile = N
-    while N % tile:
-        tile //= 2
+        # single instance; keep the lane width register-aligned
+        tile = min(tile, max(128, -(-N // 128) * 128))
     n_blocks = packed["wc"].shape[0]
 
     x = p_cn.astype(store_dtype)
     if c_img_cn is not None:
         x = jnp.concatenate([x, c_img_cn.astype(store_dtype)], axis=0)
+    n_pad = (-N) % tile
+    if n_pad:
+        x = jnp.pad(x, ((0, 0), (0, n_pad)))
+        feats_cn = jnp.pad(feats_cn, ((0, 0), (0, n_pad)))
+    np_total = N + n_pad
     in_dim = x.shape[0]
 
     kernel = functools.partial(_trunk_kernel, n_blocks, dtype)
@@ -143,7 +150,7 @@ def fused_trunk_cn(packed, p_cn, feats_cn, c_img_cn=None, *,
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(10)
     ]
     grid_spec = pl.GridSpec(
-        grid=(N // tile,),
+        grid=(np_total // tile,),
         in_specs=weight_specs + [
             pl.BlockSpec((in_dim, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -156,7 +163,7 @@ def fused_trunk_cn(packed, p_cn, feats_cn, c_img_cn=None, *,
     h_dim = packed["w_in"].shape[0]
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, np_total), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
@@ -167,4 +174,4 @@ def fused_trunk_cn(packed, p_cn, feats_cn, c_img_cn=None, *,
         packed["w_out"], packed["b_out"],
         x, feats_cn.astype(store_dtype),
     )
-    return out[0]
+    return out[0, :N]

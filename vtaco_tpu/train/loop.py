@@ -336,6 +336,7 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
             ckpt.register_modules(state=state)
             ckpt.save("model.ckpt", epoch_it=epoch_it, it=it,
                       loss_val_best=metric_val_best)
+            logger.close()  # flush buffered TB events before the requeue
             raise SystemExit(3)
 
         if max_iters is not None and it >= max_iters:
