@@ -230,6 +230,33 @@ def test_checkpoint_roundtrip(synth, tmp_path):
     with pytest.raises(FileNotFoundError):
         ckpt.load("missing.ckpt")
 
+    # URL loading (src/checkpoints.py:72-82): fetched into the checkpoint
+    # dir by basename, then loaded like a local file
+    import functools
+    import http.server
+    import threading
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/model.ckpt"
+        ckpt2 = CheckpointIO(str(tmp_path / "dl"), state=state)
+        _, scalars2 = ckpt2.load(url, state=state)
+        assert scalars2["it"] == 7
+        assert os.path.exists(tmp_path / "dl" / "model.ckpt")
+    finally:
+        httpd.shutdown()
+
+    import urllib.error
+
+    with pytest.raises(urllib.error.URLError):
+        CheckpointIO(str(tmp_path / "dl2"), state=state).load(
+            "http://127.0.0.1:9/nope.ckpt"  # discard port: refused fast
+        )
+
 
 def test_generator_obj_mesh(synth):
     from vtaco_tpu.generate.generator import Generator3D

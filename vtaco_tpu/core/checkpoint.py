@@ -87,6 +87,33 @@ class CheckpointIO:
             self._pool.shutdown(wait=True)
             del self._pool
 
+    def _download(self, url: str) -> str:
+        """Fetch a checkpoint URL into the checkpoint dir, once
+        (src/checkpoints.py:72-82 — torch model_zoo.load_url semantics:
+        cached by basename, then loaded like a local file). In a
+        zero-egress environment the fetch raises URLError with a clear
+        message rather than hanging."""
+        import urllib.error
+        import urllib.request
+
+        name = os.path.basename(url.split("?", 1)[0]) or "model.ckpt"
+        dest = self._path(name)
+        if not os.path.exists(dest):
+            tmp = dest + ".tmp"
+            try:
+                with urllib.request.urlopen(url, timeout=60) as r, open(
+                    tmp, "wb"
+                ) as f:
+                    while chunk := r.read(1 << 20):
+                        f.write(chunk)
+            except OSError as e:
+                raise urllib.error.URLError(
+                    f"checkpoint download failed for {url!r} (no network "
+                    f"egress here? download it yourself and pass a path): {e}"
+                ) from e
+            os.replace(tmp, dest)
+        return name
+
     def load(self, filename, **restore_targets):
         """Restore registered pytrees in place-of (returns scalars dict).
 
@@ -94,10 +121,7 @@ class CheckpointIO:
         train.py:134-137 does).
         """
         if filename.startswith(("http://", "https://")):
-            raise NotImplementedError(
-                "URL checkpoint loading (src/checkpoints.py:72-82) is not "
-                "supported in this build: download the file and pass a path"
-            )
+            filename = self._download(filename)
         path = self._path(filename)
         if not os.path.exists(path):
             raise FileNotFoundError(path)
