@@ -169,6 +169,16 @@ def test_pallas_trunk_vmapped_matches(rng):
     want = jax.vmap(lambda f: FT.trunk_cn(tp, p_cn, f))(featsB)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
+    # odd N under vmap — the batched-MISE coarse grid is (reso+1)³, so the
+    # pad-to-tile path must also hold inside a vmapped kernel
+    No = 201
+    got_o = jax.vmap(lambda f: fused_trunk_cn(packed, p_cn[:, :No], f,
+                                              tile=128, interpret=True))(
+        featsB[:, :, :No]
+    )
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want)[:, :No],
+                               atol=1e-5)
+
 
 def test_gating_cn_matches_reference_semantics(rng):
     """Matmul-based gating must equal the broadcast-difference gating."""
