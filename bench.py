@@ -502,16 +502,17 @@ def main():
         _mark("MISE 256^3 extraction")
         from vtaco_tpu.generate.mise import multires_decode
 
-        # refine around a level the random-weights field actually crosses
-        level = float(values.mean())
+        # threshold=None: refine around each variant's own coarse-field
+        # mean — a level from a different conditioning can miss an
+        # untrained field's narrow logit range entirely (0 verts)
         # 64³ dense coarse pass + boundary-only refinement to 256³
         t0 = time.time()
-        vals = multires_decode(gen, state, c_variants[0], 64, 2, level)
-        verts_m, faces_m = marching_cubes(vals, level=level, gradient="ascent")
+        vals, lvl = multires_decode(gen, state, c_variants[0], 64, 2, None)
+        verts_m, faces_m = marching_cubes(vals, level=lvl, gradient="ascent")
         t_mise_first = time.time() - t0
         t0 = time.time()
-        vals = multires_decode(gen, state, c_variants[1], 64, 2, level)
-        verts_m, faces_m = marching_cubes(vals, level=level, gradient="ascent")
+        vals, lvl = multires_decode(gen, state, c_variants[1], 64, 2, None)
+        verts_m, faces_m = marching_cubes(vals, level=lvl, gradient="ascent")
         t_mise = time.time() - t0
         mise_detail = {
             "mise256_s": round(t_mise, 3),
@@ -534,11 +535,12 @@ def main():
             )
 
             def serve_mise(cB):
-                grids = multires_decode_batched(gen, state, cB, 64, 2, level)
+                grids, lvls = multires_decode_batched(gen, state, cB, 64, 2,
+                                                      None)
                 return [
-                    marching_cubes(g[:-1, :-1, :-1], level=level,
+                    marching_cubes(g[:-1, :-1, :-1], level=lv,
                                    gradient="ascent")
-                    for g in grids
+                    for g, lv in zip(grids, lvls)
                 ]
 
             serve_mise(cB_mise)  # warm/compile

@@ -112,14 +112,25 @@ def test_batched_mise_matches_single(rng):
                               jnp.float32)}
     mesh = make_mesh(data=4)
     level = 0.0
-    grids = multires_decode_batched(gen, state, cB, 8, 1, level,
-                                    device_mesh=mesh)
+    grids, levels = multires_decode_batched(gen, state, cB, 8, 1, level,
+                                            device_mesh=mesh)
     assert len(grids) == B and grids[0].shape == (17, 17, 17)
+    assert levels == [0.0] * B
     for b in (0, 2):
-        single = multires_decode(gen, state, {"grid": cB["grid"][b : b + 1]},
-                                 8, 1, level, chunk=64)
+        single, _ = multires_decode(
+            gen, state, {"grid": cB["grid"][b : b + 1]}, 8, 1, level,
+            chunk=64,
+        )
         # bf16 transfer on the batched path vs f32 single path → loose atol
         np.testing.assert_allclose(grids[b], single, atol=2e-2)
+
+    # thresholds=None → per-object coarse-field means (for uncalibrated
+    # weights the fixed level can miss the field's range entirely)
+    grids2, levels2 = multires_decode_batched(gen, state, cB, 8, 1, None,
+                                              device_mesh=mesh)
+    assert len(levels2) == B and len(set(levels2)) > 1
+    for g, lv in zip(grids2, levels2):
+        assert g.min() <= lv <= g.max()
 
 
 def _tiny_train_cfg(root, mesh_root):

@@ -857,7 +857,7 @@ class Generator3D:
         c = self._apply(state, self.model.encode_inputs, inputs, train=False)
         # refinement + iso level in logit space: logit(p=0.5) = 0
         thr_logit = float(np.log(self.threshold / (1 - self.threshold)))
-        values = multires_decode(
+        values, thr_logit = multires_decode(
             self, state, c, res0, steps, thr_logit
         )
         reso = res0 * 2**steps

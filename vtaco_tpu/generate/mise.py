@@ -208,13 +208,19 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
     Level 0 uses the gather-free dense decode at (resolution0+1)³; each
     refinement doubles resolution and evaluates only points adjacent to
     boundary voxels through the jitted scattered decoder (padded chunks).
-    Returns a ((R+1), (R+1), (R+1)) value grid at the final resolution,
-    with never-evaluated points holding interpolated coarse values.
+    Returns ``(values, threshold)``: a ((R+1), (R+1), (R+1)) value grid at
+    the final resolution (never-evaluated points hold interpolated coarse
+    values) and the iso level used for refinement — pass it to marching
+    cubes so the extraction matches the refinement.
+
+    ``threshold=None`` derives the iso level from the coarse field's mean
+    (the generator's ``mc_level: 'mean'`` semantics) — use it when the
+    caller has no calibrated level, e.g. with untrained weights whose
+    logit range is unknown.
     """
     import jax.numpy as jnp
 
     box_size = 1 + generator.padding
-    mg = MultiGridExtractor(resolution0, threshold, invert=False)
 
     def grid_to_coords(pts_int, reso):
         return box_size * (pts_int / reso - 0.5)
@@ -224,6 +230,9 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
     values0 = generator.eval_points_dense(
         state, n0, c, gating, gate_pts, gate_feat, gate_valid
     ).reshape(n0, n0, n0)
+    if threshold is None:
+        threshold = float(values0.mean())
+    mg = MultiGridExtractor(resolution0, threshold, invert=False)
     # dense grid spans ±0.5*box at indices 0..n0-1 == corners 0..reso0
     pts0 = mg.query()
     mg.update(pts0, values0[pts0[:, 0], pts0[:, 1], pts0[:, 2]])
@@ -250,7 +259,7 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
             vals[i : i + chunk] = np.asarray(out)[: chunk - pad or None]
         mg.update(pts, vals)
 
-    return mg.values
+    return mg.values, threshold
 
 
 def multires_decode_batched(generator, state, c_batched, resolution0,
@@ -266,20 +275,24 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
     objects one at a time (inferencing.py:59-183 loops its batch through
     generate_obj_mesh); here the whole flight shares each XLA dispatch.
 
-    ``thresholds`` is a scalar or per-object sequence of iso levels (in
-    logit space). Returns a list of B value grids at the final resolution.
+    ``thresholds`` is a scalar, a per-object sequence of iso levels (in
+    logit space), or None for per-object coarse-field means (see
+    :func:`multires_decode`). Returns ``(grids, thresholds)``: a list of B
+    value grids at the final resolution and the per-object levels used.
     """
     import jax
 
     B = jax.tree.leaves(c_batched)[0].shape[0]
-    if np.isscalar(thresholds):
-        thresholds = [float(thresholds)] * B
     box_size = 1 + generator.padding
 
     n0 = resolution0 + 1
     vals0 = generator.decode_dense_batched(
         state, n0, c_batched, device_mesh=device_mesh
     )
+    if thresholds is None:
+        thresholds = [float(vals0[b].mean()) for b in range(B)]
+    elif np.isscalar(thresholds):
+        thresholds = [float(thresholds)] * B
     mgs = []
     for b in range(B):
         mg = MultiGridExtractor(resolution0, thresholds[b], invert=False)
@@ -309,4 +322,4 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
             if len(p):
                 mgs[b].update(p, vals[b, : len(p)])
 
-    return [mg.values for mg in mgs]
+    return [mg.values for mg in mgs], thresholds
