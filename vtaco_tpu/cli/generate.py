@@ -77,7 +77,9 @@ def main(argv=None):
         state = restored["state"]
         print(f"=> loaded {ckpt_file} (it={scalars.get('it')})")
     except FileNotFoundError:
-        print(f"Warning: checkpoint {ckpt_file} not found — using random init")
+        print(f"Warning: checkpoint {ckpt_file} not found — proceeding with "
+              f"an untrained zero-init state (occupancy fields will be "
+              f"constant and meshes empty)")
 
     generator = Generator3D.from_config(model, cfg)
     inferencer = Inferencer.from_config(model, generator, cfg)
