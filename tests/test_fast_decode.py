@@ -55,6 +55,14 @@ def test_fast_dense_matches_module_paths(rng):
                                  transfer_dtype=jnp.float32)
     np.testing.assert_allclose(fast, slow, atol=1e-5)
 
+    # odd nx (the MISE coarse grid is (reso+1)³): both dense paths must
+    # accept any grid size, not just multiples of the slab factor
+    slow9 = gen.eval_points_dense(state, 9, c_planes, fast=False,
+                                  transfer_dtype=jnp.float32)
+    fast9 = gen.eval_points_dense(state, 9, c_planes, fast=True,
+                                  transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(fast9, slow9, atol=1e-5)
+
 
 def test_eval_points_single_dispatch_matches_chunked(rng):
     """The scattered decode's fused lax.map path (one dispatch for all

@@ -102,6 +102,39 @@ def test_vtaco_t2d_img_path(synth):
     assert "iou" in ev and 0.0 <= ev["iou"] <= 1.0
 
 
+def test_pred_depth_contact_mode(synth):
+    """legacy_gt_depth=False (the non-quirk mode): train AND eval gate
+    contact sampling on the t2d-predicted depths. Both must run finite,
+    and the eval step must differ from the GT-depth trainer's (it gates
+    on a different query distribution) while both gates stay consistent
+    between their own train/eval."""
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/VTacO/VTacO_YCB.yaml", root, mesh_root)
+    cfg["training"]["legacy_gt_depth"] = False
+    model, _ = get_model(cfg)
+    ds = get_dataset("train", cfg)
+    bank = build_mesh_bank(cfg, ds)
+    tr = Trainer.from_config(model, cfg, mesh_bank=bank,
+                             contact_per_finger=32)
+    assert tr.legacy_gt_depth is False
+    batch = next(iter(BatchLoader(ds, batch_size=2, num_workers=1, seed=0)))
+    state = tr.init_state(batch)
+    state, sc = tr.train_step(state, batch)
+    assert all(np.isfinite(list(sc.values()))), sc
+    val = get_dataset("val", cfg)
+    vb = next(iter(BatchLoader(val, 1, shuffle=False, num_workers=1)))
+    ev = tr.eval_step(state, vb)
+    assert "iou" in ev and np.isfinite(ev["iou"])
+
+    # the GT-depth trainer evaluates the same state on different queries
+    cfg2 = _small_cfg("configs/VTacO/VTacO_YCB.yaml", root, mesh_root)
+    tr_gt = Trainer.from_config(model, cfg2, mesh_bank=bank,
+                                contact_per_finger=32)
+    assert tr_gt.legacy_gt_depth is True
+    ev_gt = tr_gt.eval_step(state, vb)
+    assert np.isfinite(ev_gt["iou"])
+
+
 def test_skip_unused_t2d_loss_identical(synth):
     """In the shipped VTacO path (pretrained t2d + legacy GT depth) the t2d
     forward never reaches the loss — dropping it must not change any loss

@@ -193,6 +193,9 @@ class Generator3D:
             **{"matmul_precision": gen.get("matmul_precision", "highest"),
                "mc_level": gen.get("mc_level", "midpoint"),
                "use_pallas": gen.get("use_pallas", "auto"),
+               # same source of truth as the trainer's contact sampling
+               "legacy_gt_depth":
+                   cfg["training"].get("legacy_gt_depth", True),
                **kw},
         )
 
@@ -300,7 +303,11 @@ class Generator3D:
         feats = dense_feature_volume(c, nx, box_size, self.padding)  # (N, C)
         pts = jnp.asarray(dense_query_grid(nx, box_size))            # (N, 3)
 
-        slab = nx * nx * 4
+        # slab = nx² z-slices; 4 per scan step when nx allows (fewer, larger
+        # slabs amortize the scan), else 2/1 so any nx (odd MISE grids like
+        # 65) divides evenly
+        g = 4 if nx % 4 == 0 else (2 if nx % 2 == 0 else 1)
+        slab = nx * nx * g
         n_slabs = (nx * nx * nx) // slab
         feats = feats.reshape(n_slabs, slab, -1)
         pts_s = pts.reshape(n_slabs, slab, 3)
@@ -513,18 +520,23 @@ class Generator3D:
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnames=("self", "H", "W"))
     def _prep_contact_gates(self, gt_depths, pred_depths, d_origin, touch,
-                            cam_rot, cam_pos, pc_ply, H, W):
+                            cam_rot, cam_pos, pc_ply, H, W, seed=0):
         """Per-finger contact clouds for gating (generation.py:225-246).
 
         gt/pred depths (5, H*W); touch (5,); cam_rot/pos (5, 3); returns
-        ((5, K, 3) normalized contact points, (5, K) validity)."""
+        ((5, K, 3) normalized contact points, (5, K) validity).
+
+        ``seed`` drives the >contact_per_finger pixel subsampling. The
+        reference draws fresh np.random subsets per call; the default here
+        is deterministic (reproducible serving) — pass a per-sample seed to
+        recover the reference's averaged-over-subsets behavior."""
         import math
 
         dmaps = gt_depths if self.legacy_gt_depth else (
             pred_depths * 0.005 + 0.019
         )
         f = H / (2 * math.tan(math.radians(CAM_FOV / 2)))
-        rng = jax.random.PRNGKey(0)
+        rng = jax.random.PRNGKey(seed)
         rot_off = jnp.array([-jnp.pi / 2, 0.0, jnp.pi / 2])
         pts_f, val_f = [], []
         for f_idx in range(5):
@@ -740,11 +752,13 @@ class Generator3D:
         return host.transpose(1, 0, 2).reshape(B, k * bs)[:, :M]
 
     # ------------------------------------------------------------------
-    def generate_obj_mesh_wnf(self, state, data):
+    def generate_obj_mesh_wnf(self, state, data, seed=0):
         """Dense-grid decode + marching cubes + metrics.
 
         Mirrors generation.py:115-284. ``data`` is a B=1 loader batch.
-        Returns ((verts, faces), emd, chamfer).
+        Returns ((verts, faces), emd, chamfer). ``seed`` varies the
+        contact-pixel subsampling of the tactile gating (deterministic by
+        default; the reference redraws per call).
         """
         box_size = 1 + self.padding
         nx = self.resolution0 * 4
@@ -786,7 +800,7 @@ class Generator3D:
                 )
                 gate_pts, gate_valid = self._prep_contact_gates(
                     depths[0], pred_depth[0], d_origin, touch[0],
-                    cam_rot[0], cam_pos[0], pc_ply[0], H, W,
+                    cam_rot[0], cam_pos[0], pc_ply[0], H, W, seed=seed,
                 )
                 gating = "contact"
                 gate_feat = c_img[0]                            # (5, C)
@@ -949,11 +963,19 @@ class Generator3D:
 
 class LoopGenerator:
     """Periodic visualization hook for the training loop (mirrors
-    train.py:239-256 / train_depth.py:251-266)."""
+    train.py:239-256 / train_depth.py:251-266).
 
-    def __init__(self, generator, train_tactile=False):
+    ``vis_all``/``vis_split`` reproduce the reference's staging
+    (train.py:89-118): all val samples when vis_all (the shipped configs'
+    setting), else every vis_split-th — a full-split dense decode + EMD per
+    visualize cadence is minutes-per-trigger on a big split."""
+
+    def __init__(self, generator, train_tactile=False, vis_all=True,
+                 vis_split=1):
         self.generator = generator
         self.train_tactile = train_tactile
+        self.vis_all = vis_all
+        self.vis_split = max(1, int(vis_split))
 
     def visualize(self, state, val_loader, out_dir, it):
         from vtaco_tpu.utils import meshio
@@ -962,6 +984,8 @@ class LoopGenerator:
         os.makedirs(vis_dir, exist_ok=True)
         emd_total, cd_total = [], []
         for i, batch in enumerate(val_loader):
+            if not self.vis_all and i % self.vis_split != 0:
+                continue
             name = batch["points.name"][0]
             if self.train_tactile:
                 pcs = self.generator.generate_tactile_pc(state, batch)
@@ -992,4 +1016,8 @@ class LoopGenerator:
 
 def make_loop_generator(model, cfg, bank=None):
     gen = Generator3D.from_config(model, cfg)
-    return LoopGenerator(gen, train_tactile=cfg["model"]["train_tactile"])
+    g = cfg.get("generation", {})
+    return LoopGenerator(
+        gen, train_tactile=cfg["model"]["train_tactile"],
+        vis_all=g.get("vis_all", True), vis_split=g.get("vis_split", 1),
+    )

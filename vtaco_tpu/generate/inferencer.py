@@ -81,10 +81,15 @@ class Inferencer:
             mesh_list_hand.append(((hand_verts, hand_faces), name))
             emds.append(emd)
             cds.append(cd)
+        f_emd = [x for x in emds if np.isfinite(x)]
+        f_cd = [x for x in cds if np.isfinite(x)]
         stats = {
-            "emd_mean": float(np.mean(emds)) if emds else float("nan"),
-            "cd_mean": float(np.mean(cds)) if cds else float("nan"),
+            # means over successful extractions; per-sample inf entries mark
+            # empty meshes (generate_obj_mesh_wnf's degenerate-field contract)
+            "emd_mean": float(np.mean(f_emd)) if f_emd else float("nan"),
+            "cd_mean": float(np.mean(f_cd)) if f_cd else float("nan"),
             "n": len(emds),
+            "n_empty": len(cds) - len(f_cd),
         }
         return mesh_list_obj, mesh_list_hand, stats
 
@@ -135,7 +140,7 @@ class Inferencer:
         def consume(flight):
             values, names_b, objs = flight
             vals = np.asarray(values, np.float32)  # blocks: device→host
-            samples = []
+            samples, empty = [], []
             for b, name in enumerate(names_b):
                 verts, faces = marching_cubes(
                     vals[b].reshape(nx, nx, nx), gradient="ascent"
@@ -146,8 +151,9 @@ class Inferencer:
                         os.path.join(out_dir, f"{name}_obj.off"), verts, faces
                     )
                 n = len(verts)
-                if n == 0:  # no isosurface crossing
-                    samples.append(np.zeros((2048, 3), np.float32))
+                empty.append(n == 0)
+                if n == 0:  # no isosurface crossing: chamfer undefined
+                    samples.append(np.zeros((2048, 3), np.float32))  # filler
                 else:
                     idx = (rng.permutation(n)[:2048] if n >= 2048
                            else rng.integers(0, n, 2048))
@@ -156,7 +162,10 @@ class Inferencer:
             cd = np.asarray(chamfer(
                 jnp.asarray(np.stack(objs)), jnp.asarray(np.stack(samples))
             ))
-            cds.extend(float(x) for x in cd)
+            # empty meshes report inf (same contract as generate_obj_mesh_wnf)
+            # rather than a plausible-looking chamfer against the filler
+            cds.extend(float("inf") if e else float(x)
+                       for x, e in zip(cd, empty))
 
         in_flight = None
         pending_inputs, pending_names, pending_obj = [], [], []
@@ -179,10 +188,14 @@ class Inferencer:
             in_flight = flight
         if in_flight is not None:
             consume(in_flight)
+        finite = [x for x in cds if np.isfinite(x)]
         return {
             "names": names,
             "cd": cds,
-            "cd_mean": float(np.mean(cds)) if cds else None,
+            # mean over successful extractions; per-object inf entries in
+            # "cd" mark the failures (n_empty counts them)
+            "cd_mean": float(np.mean(finite)) if finite else None,
+            "n_empty": len(cds) - len(finite),
         }
 
     def run(self, state, loader, out_dir=None, max_samples: Optional[int] = None):
@@ -222,10 +235,13 @@ class Inferencer:
             emds.append(emd)
             cds.append(cd)
             names.append(name)
+        f_emd = [x for x in emds if np.isfinite(x)]
+        f_cd = [x for x in cds if np.isfinite(x)]
         return {
             "names": names,
             "emd": emds,
             "cd": cds,
-            "emd_mean": float(np.mean(emds)) if emds else None,
-            "cd_mean": float(np.mean(cds)) if cds else None,
+            "emd_mean": float(np.mean(f_emd)) if f_emd else None,
+            "cd_mean": float(np.mean(f_cd)) if f_cd else None,
+            "n_empty": len(cds) - len(f_cd),
         }

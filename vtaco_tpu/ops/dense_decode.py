@@ -34,7 +34,9 @@ def _axis_interp_matrix(nx: int, R: int, box_size: float, padding: float,
     coords = box_size * (-0.5 + np.arange(nx) / (nx - 1))
     eps = 10e-4 if three_d else 10e-6
     u = coords / (1 + padding + eps) + 0.5
-    u = np.clip(u, 0.0, 1 - eps)
+    # outlier-only remap, matching ops.geometry.normalize_*_coordinate
+    # (the reference leaves u in [1-eps, 1) untouched — not a clip)
+    u = np.where(u >= 1.0, 1 - eps, np.maximum(u, 0.0))
     x = np.clip(u * (R - 1), 0.0, R - 1)
     x0 = np.clip(np.floor(x).astype(np.int64), 0, R - 1)
     x1 = np.minimum(x0 + 1, R - 1)

@@ -34,8 +34,9 @@ def normalize_coordinate(p, padding: float = 0.1, plane: str = "xz"):
     a, b = PLANE_AXES[plane]
     xy = jnp.stack([p[..., a], p[..., b]], axis=-1)
     xy = xy / (1 + padding + 10e-6) + 0.5
-    # Reference clamps >=1 to 1-1e-5 and <0 to 0.
-    xy = jnp.clip(xy, 0.0, 1 - 10e-6)
+    # Reference remaps only true outliers: >=1 to 1-1e-5, <0 to 0; values
+    # in [1-1e-5, 1) pass through untouched (NOT a symmetric clip).
+    xy = jnp.where(xy >= 1.0, 1 - 10e-6, jnp.maximum(xy, 0.0))
     return xy
 
 
@@ -45,7 +46,8 @@ def normalize_3d_coordinate(p, padding: float = 0.1):
     Matches src/common.py:293-309 (note the different epsilon, 1e-3).
     """
     p_nor = p / (1 + padding + 10e-4) + 0.5
-    p_nor = jnp.clip(p_nor, 0.0, 1 - 10e-4)
+    # same outlier-only remap as normalize_coordinate (eps 1e-3 here)
+    p_nor = jnp.where(p_nor >= 1.0, 1 - 10e-4, jnp.maximum(p_nor, 0.0))
     return p_nor
 
 

@@ -36,7 +36,9 @@ def random_topk_select(mask, k, rng):
     r = jax.random.uniform(rng, mask.shape)
     key = jnp.where(mask, 1.0 + r, r)
     val, idx = jax.lax.top_k(key, k)
-    return idx, val > 1.0
+    # >=: uniform can return exactly 0.0, putting a genuinely selected
+    # entry at key 1.0; unmasked keys are strictly < 1.0, so this is exact
+    return idx, val >= 1.0
 
 
 def backproject_depth(depth_hw, f, width, height):

@@ -217,6 +217,8 @@ class Trainer:
             device_mesh=device_mesh,
             matmul_precision=cfg["training"].get("matmul_precision", "default"),
             **{"remat": cfg["training"].get("remat", False),
+               "legacy_gt_depth":
+                   cfg["training"].get("legacy_gt_depth", True),
                "skip_unused_t2d": cfg["training"].get("skip_unused_t2d", False),
                "compute_dtype": cfg["training"].get("compute_dtype"),
                "keep_f32_modules":
@@ -733,11 +735,27 @@ class Trainer:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             model = self.model
             if self.encode_t2d:
-                # IoU on the winding-labeled contact sample (training.py:421)
+                # IoU on the winding-labeled contact sample (training.py:421).
+                # Same depth source as the train path: GT under
+                # legacy_gt_depth, else the t2d prediction — otherwise the
+                # val metric would gate on a different query distribution
+                # than the one being trained.
                 H, W = a["imgs"].shape[2], a["imgs"].shape[3]
+                if self.legacy_gt_depth:
+                    depth_for_contact = a["depths"]
+                else:
+                    pred_depth, _ = model.apply(
+                        variables, a["inputs"], a["imgs"], train=False,
+                        method=model.encode_t2d,
+                    )
+                    depth_for_contact = (
+                        pred_depth.astype(jnp.float32) * DEPTH_SCALE
+                        + DEPTH_NEAR
+                    )
                 sample = C.t2d_contact_sample(
-                    a["depths"], a["touch_success"], a["cam_pos"], a["cam_rot"],
-                    a["pc_ply"], a["points"], self._depth_origin_for(H * W),
+                    depth_for_contact, a["touch_success"], a["cam_pos"],
+                    a["cam_rot"], a["pc_ply"], a["points"],
+                    self._depth_origin_for(H * W),
                     self._cam_f(H), H, W, self.num_sample,
                     self.contact_per_finger, rng,
                 )
