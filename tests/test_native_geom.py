@@ -54,6 +54,28 @@ def test_mesh_reader_matches_python(tmp_path):
         np.testing.assert_allclose(v_d, v_n, atol=1e-6)
 
 
+def test_off_body_comments_and_bad_faces(tmp_path):
+    """Comments are legal anywhere in an OFF body (igl accepts them); a
+    desynced/malformed face index must not read out of bounds in the
+    winding kernel (skipped faces contribute zero solid angle)."""
+    path = str(tmp_path / "c.off")
+    with open(path, "w") as f:
+        f.write("OFF\n# header comment\n4 2 0\n"
+                "# comment inside the vertex block\n"
+                "0 0 0\n1 0 0\n# another\n0 1 0\n0 0 1\n"
+                "# comment inside the face block\n"
+                "3 0 1 2\n3 0 2 3\n")
+    v, fc = geom.read_triangle_mesh(path)
+    np.testing.assert_allclose(
+        v, [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], atol=0)
+    np.testing.assert_array_equal(fc, [[0, 1, 2], [0, 2, 3]])
+
+    # out-of-range face ids are skipped, not dereferenced
+    bad = np.array([[0, 1, 99], [0, -1, 2]], np.int32)
+    w = geom.winding_number(v, bad, np.zeros((3, 3), np.float32))
+    assert np.allclose(w, 0.0)
+
+
 def test_chamfer_kdtree_native_path():
     from vtaco_tpu.ops.metrics import chamfer_distance, chamfer_distance_kdtree
 

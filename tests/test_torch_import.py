@@ -137,3 +137,64 @@ def test_full_model_roundtrip(rng):
             TI._flatten(new_params)[path], np.asarray(leaf) + 1.0, atol=1e-5,
             err_msg=str(path),
         )
+
+
+def test_fusion_import_numerics(rng):
+    """TransformerFusion (fuser) import: identical weights → matching
+    outputs in eval mode, with the reference's weight-tied clones and the
+    dead after_norm accounted for in the report."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import reference_shim  # noqa: F401  (installs torch dependency shims)
+
+    sys.path.insert(0, "/root/reference")
+    from src.TransformerFusion import TransformerFusion as TorchFusion
+
+    from vtaco_tpu.models.fusion import TransformerFusion
+
+    tf = TorchFusion(d_model=8, num_layers=2, key_feature_dim=4,
+                     with_pos_embed=True)
+    tf.eval()
+
+    fuser = TransformerFusion(d_model=8, num_layers=2, key_feature_dim=4,
+                              with_pos_embed=True)
+    feat = rng.standard_normal((2, 16, 8)).astype(np.float32)
+    feat2 = rng.standard_normal((2, 16, 8)).astype(np.float32)
+    coord = rng.standard_normal((2, 16, 3)).astype(np.float32)
+    v = fuser.init(jax.random.PRNGKey(0), jnp.asarray(feat),
+                   jnp.asarray(coord), jnp.asarray(feat2), jnp.asarray(coord))
+
+    sd = {k: t.detach().numpy() for k, t in tf.state_dict().items()}
+    params, stats, report = TI.import_state_dict(
+        sd, jax.tree.map(np.asarray, v["params"]),
+        jax.tree.map(np.asarray, v.get("batch_stats", {})),
+    )
+    assert not report["missing"], report["missing"][:5]
+    assert not report["unused"], report["unused"][:5]
+
+    got = fuser.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(feat), jnp.asarray(coord),
+                      jnp.asarray(feat2), jnp.asarray(coord))
+    with torch.no_grad():
+        want = tf(torch.from_numpy(feat), torch.from_numpy(coord),
+                  torch.from_numpy(feat2), torch.from_numpy(coord))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+def test_index_encoder_import(rng):
+    """IndexEncoder (encoder: 'idx') ↔ the reference's bare nn.Embedding."""
+    from vtaco_tpu.models.pointnet import IndexEncoder
+
+    emb = torch.nn.Embedding(7, 6)
+    enc = IndexEncoder(num_embeddings=7, c_dim=6)
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((2,), jnp.int32))
+    sd = {f"encoder.{k}": t.detach().numpy() for k, t in emb.state_dict().items()}
+    params, _, report = TI.import_state_dict(
+        sd, {"encoder": jax.tree.map(np.asarray, v["params"])}, {},
+    )
+    assert not report["missing"] and not report["unused"], report
+    idx = np.array([0, 3, 6])
+    got = enc.apply({"params": params["encoder"]}, jnp.asarray(idx))
+    want = emb(torch.from_numpy(idx)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)

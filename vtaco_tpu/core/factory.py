@@ -55,6 +55,24 @@ def get_model(cfg, dataset=None):
     with_img = mcfg["with_img"]
     with_contact = mcfg["with_contact"]
 
+    # crop-mode coordinate settings propagate from the data/model level
+    # into every submodule's kwargs (src/conv_onet/config.py:45-59);
+    # without this, configs that set them there silently build the
+    # Patch* modules with default local_coord/unit_size.
+    _prop = {}
+    if "unit_size" in cfg["data"]:
+        _prop["unit_size"] = cfg["data"]["unit_size"]
+    for _k in ("local_coord", "pos_encoding"):
+        if _k in mcfg:
+            _prop[_k] = mcfg[_k]
+    if _prop:
+        for _kwname in ("encoder_kwargs", "encoder_hand_kwargs",
+                        "decoder_kwargs"):
+            if isinstance(mcfg.get(_kwname), dict):
+                # reference semantics: the top-level value overwrites any
+                # per-module entry
+                mcfg[_kwname].update(_prop)
+
     # crop mode: feature resolution follows the crop volume
     # (src/conv_onet/config.py:62-76)
     if cfg["data"].get("input_type") == "pointcloud_crop" and dataset is not None:

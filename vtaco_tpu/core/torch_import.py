@@ -32,6 +32,39 @@ def _translate_path(path: Tuple[str, ...]) -> str:
     """Our param-tree path → torch dotted name prefix."""
     out = []
     for i, comp in enumerate(path):
+        # TransformerFusion (fuser): the reference weight-ties all layer
+        # clones (_get_clones shares one module), so layers.0 is the
+        # canonical copy of every tensor; our single shared modules map
+        # onto it (TransformerFusion.py:244-310)
+        if comp == "self_attn":
+            out.append("encoder.layers.0.self_attn")
+            continue
+        if comp == "cross_attn":
+            out.append("decoder.layers.0.cross_attn")
+            continue
+        if comp == "encoder_pos_embed":
+            out.append("encoder.layers.0.self_posembed.position_embedding_head")
+            continue
+        if comp == "decoder_pos_embed":
+            out.append("decoder.layers.0.self_posembed.position_embedding_head")
+            continue
+        m = re.fullmatch(r"head(\d+)", comp)
+        if m:
+            out.append(f"head.{m.group(1)}")
+            continue
+        m = re.fullmatch(r"extra_nonlinear(\d+)", comp)
+        if m:
+            out.append(f"extra_nonlinear.{m.group(1)}")
+            continue
+        if i > 0 and path[i - 1].endswith("_pos_embed"):
+            # PositionEmbeddingLearned Sequential: Conv1d, BatchNorm1d,
+            # ReLU, Conv1d → indices 0, 1, 3
+            out.append({"conv1": "0", "bn": "1", "conv2": "3"}[comp])
+            continue
+        if comp == "embedding":
+            # IndexEncoder: our nn.Embed submodule vs the reference's bare
+            # nn.Embedding (conv_onet/config.py:87-88) — drop the level
+            continue
         m = re.fullmatch(r"block(\d+)", comp)
         if m:
             out.append(f"blocks.{m.group(1)}")
@@ -94,6 +127,9 @@ def _to_flax_leaf(tname, tval, leaf_name, flax_shape):
     if leaf_name == "kernel":
         if v.ndim == 2:
             out = v.T
+        elif v.ndim == 3 and v.shape[2] == 1 and len(flax_shape) == 2:
+            # pointwise Conv1d (O, I, 1) realized as a Dense here
+            out = v[:, :, 0].T
         elif v.ndim in (4, 5):
             dims = v.ndim - 2
             if tuple(flax_shape) == tuple(
@@ -169,12 +205,23 @@ def import_state_dict(state_dict, params, batch_stats):
             missing.append(tname)
             new_stats[path] = leaf
 
-    unused = [
-        k for k in state_dict
-        if k not in used
-        and not k.endswith("num_batches_tracked")
-        and ".mano_layer." not in k  # fixed MANO buffers, not learnable
-    ]
+    def _expected_unused(k):
+        if k.endswith("num_batches_tracked"):
+            return True
+        if ".mano_layer." in k:  # fixed MANO buffers, not learnable
+            return True
+        if ".after_norm." in k:
+            # RelationUnit.after_norm is created but never used in the
+            # reference forward (TransformerFusion.py:71,90-113)
+            return True
+        # weight-tied fusion clones: layers.N and the decoder's self_attn
+        # alias the canonical encoder.layers.0 tensors we imported
+        canon = re.sub(r"\.layers\.\d+\.", ".layers.0.", k)
+        canon = canon.replace("decoder.layers.0.self_attn.",
+                              "encoder.layers.0.self_attn.")
+        return canon != k and canon in used
+
+    unused = [k for k in state_dict if k not in used and not _expected_unused(k)]
     report = {"missing": missing, "unused": unused}
     return _unflatten(new_params), _unflatten(new_stats), report
 
@@ -224,6 +271,8 @@ def export_state_dict(params, batch_stats):
         if leaf_name == "kernel":
             if v.ndim == 2:
                 v = v.T
+                if "position_embedding_head" in tname:
+                    v = v[:, :, None]  # back to torch's pointwise Conv1d
             elif v.ndim in (4, 5):
                 dims = v.ndim - 2
                 if "upconv" in tname or "upsample" in tname:

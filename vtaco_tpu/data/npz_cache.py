@@ -47,6 +47,12 @@ def load_npz(path: str) -> dict:
         if hasattr(v, "setflags"):
             v.setflags(write=False)
     with _LOCK:
+        if path in _CACHE:
+            # another thread loaded it while we read: keep the existing
+            # entry (re-adding would double-count _SIZE, which eviction
+            # only subtracts once per path)
+            _CACHE.move_to_end(path)
+            return _CACHE[path]
         _CACHE[path] = data
         _SIZE += _nbytes(data)
         while _SIZE > limit and len(_CACHE) > 1:

@@ -121,7 +121,7 @@ class PositionEmbeddingLearned(nn.Module):
     @nn.compact
     def __call__(self, xyz, train: bool = True):
         x = nn.Dense(self.num_pos_feats, name="conv1")(xyz)
-        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
         x = nn.relu(x)
         return nn.Dense(self.num_pos_feats, name="conv2")(x)
 
@@ -184,5 +184,9 @@ class TransformerFusion(nn.Module):
         if self.with_pos_embed and template_coord is not None:
             enc_pos = self.encoder_pos_embed(template_coord, train=train)
             dec_pos = self.decoder_pos_embed(search_coord, train=train)
-        memory = self._encode(template_feature, enc_pos, True, train)
-        return self._decode(search_feature, memory, dec_pos, True, train)
+        # honor the caller's deterministic flag (train-mode dropout in the
+        # reference's TransNonlinear, p=0.1); callers enabling it must
+        # provide a 'dropout' rng to apply()
+        memory = self._encode(template_feature, enc_pos, deterministic, train)
+        return self._decode(search_feature, memory, dec_pos, deterministic,
+                            train)

@@ -5,6 +5,12 @@ block used by every point encoder/decoder, the from-scratch ResNet-18/34/50
 image encoders (tactile feature extractor), and the BatchNorm U-Net used as
 the tactile depth estimator U_I. Layouts are TPU-native NHWC; convolutions
 carry explicit symmetric padding to match the torch shapes.
+
+Every nn.BatchNorm here (and in pointnetpp/fusion/unet3d) passes
+momentum=0.9: flax's momentum is the running-stat DECAY, so 0.9 equals
+torch BatchNorm2d's default momentum=0.1 (new = 0.9*old + 0.1*batch);
+flax's own default 0.99 would update running statistics 10x slower than
+the reference.
 """
 
 from __future__ import annotations
@@ -63,20 +69,20 @@ class BasicBlock(nn.Module):
                 self.channels, (1, 1), strides=self.stride, use_bias=False,
                 kernel_init=kaiming_out, name="down_conv",
             )(x)
-            identity = nn.BatchNorm(use_running_average=not train, name="down_bn")(
+            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="down_bn")(
                 identity
             )
         out = nn.Conv(
             self.channels, (3, 3), strides=self.stride, padding=1, use_bias=False,
             kernel_init=kaiming_out, name="conv1",
         )(x)
-        out = nn.BatchNorm(use_running_average=not train, name="bn1")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(
             self.channels, (3, 3), padding=1, use_bias=False,
             kernel_init=kaiming_out, name="conv2",
         )(out)
-        out = nn.BatchNorm(use_running_average=not train, name="bn2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(out)
         return nn.relu(out + identity)
 
 
@@ -96,18 +102,18 @@ class Bottleneck(nn.Module):
                 self.channels * self.expansion, (1, 1), strides=self.stride,
                 use_bias=False, kernel_init=kaiming_out, name="down_conv",
             )(x)
-            identity = nn.BatchNorm(use_running_average=not train, name="down_bn")(
+            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="down_bn")(
                 identity
             )
         out = nn.Conv(self.channels, (1, 1), use_bias=False,
                       kernel_init=kaiming_out, name="conv1")(x)
-        out = nn.relu(nn.BatchNorm(use_running_average=not train, name="bn1")(out))
+        out = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(out))
         out = nn.Conv(self.channels, (3, 3), strides=self.stride, padding=1,
                       use_bias=False, kernel_init=kaiming_out, name="conv2")(out)
-        out = nn.relu(nn.BatchNorm(use_running_average=not train, name="bn2")(out))
+        out = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(out))
         out = nn.Conv(self.channels * self.expansion, (1, 1), use_bias=False,
                       kernel_init=kaiming_out, name="conv3")(out)
-        out = nn.BatchNorm(use_running_average=not train, name="bn3")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn3")(out)
         return nn.relu(out + identity)
 
 
@@ -130,7 +136,7 @@ class ResNet(nn.Module):
 
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     kernel_init=kaiming_out, name="conv1")(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=not train, name="bn1")(x))
+        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         in_ch = 64
@@ -183,7 +189,7 @@ class TactileDownConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        bn = nn.BatchNorm(use_running_average=not train, name="bn")
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")
         x = nn.Conv(self.out_channels, (3, 3), padding=1,
                     kernel_init=xavier_normal, bias_init=nn.initializers.zeros,
                     name="conv1")(x)
@@ -228,7 +234,7 @@ class TactileUpConv(nn.Module):
             x = jnp.concatenate([from_up, from_down], axis=-1)
         else:
             x = from_up + from_down
-        bn = nn.BatchNorm(use_running_average=not train, name="bn")
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")
         x = nn.Conv(self.out_channels, (3, 3), padding=1,
                     kernel_init=xavier_normal, bias_init=nn.initializers.zeros,
                     name="conv1")(x)

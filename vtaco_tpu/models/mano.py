@@ -134,7 +134,6 @@ class ManoLayer:
         rots = jnp.concatenate([root_rot[:, None], joint_rots], axis=1)  # (B,16,3,3)
         transforms = [None] * 16
         for j in range(16):
-            t_local = jnp.zeros((B, 4, 4))
             parent = self.kintree_parents[j]
             if j == 0:
                 rel_t = j_rest[:, 0]

@@ -219,7 +219,6 @@ class PatchLocalPoolPointnet(nn.Module):
 
     def setup(self):
         self.planes = _canon_planes(self.plane_type)
-        in_dim = 60 if self.pos_encoding == "sin_cos" else self.dim
         self.fc_pos = nn.Dense(2 * self.hidden_dim, name="fc_pos")
         self.blocks = [
             ResnetBlockFC(2 * self.hidden_dim, self.hidden_dim, name=f"block{i}")

@@ -98,7 +98,7 @@ class SetAbstraction(nn.Module):
         x = grouped
         for i, ch in enumerate(self.mlp):
             x = nn.Dense(ch, name=f"mlp{i}")(x)
-            x = nn.relu(nn.BatchNorm(use_running_average=not train, name=f"bn{i}")(x))
+            x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"bn{i}")(x))
         return new_xyz, jnp.max(x, axis=2)
 
 
@@ -129,7 +129,7 @@ class FeaturePropagation(nn.Module):
             x = jnp.concatenate([points1, interpolated], axis=-1)
         for i, ch in enumerate(self.mlp):
             x = nn.Dense(ch, name=f"mlp{i}")(x)
-            x = nn.relu(nn.BatchNorm(use_running_average=not train, name=f"bn{i}")(x))
+            x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"bn{i}")(x))
         return x
 
 

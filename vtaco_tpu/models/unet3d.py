@@ -124,7 +124,7 @@ class SingleConv(nn.Module):
                 x = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
                                  name=f"groupnorm{i}")(x)
             elif ch == "b":
-                x = nn.BatchNorm(use_running_average=not train, name=f"batchnorm{i}")(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"batchnorm{i}")(x)
             else:
                 raise ValueError(f"unsupported layer type '{ch}'")
         return x

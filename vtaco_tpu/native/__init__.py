@@ -40,10 +40,13 @@ def _generate_tables_header(hdr):
         f.write("\n".join(lines) + "\n")
 
 
-def _build_and_load(name, pre_build=None):
+def _build_and_load(name, pre_build=None, extra_deps=()):
     src = os.path.join(_DIR, f"{name}.cpp")
     so = os.path.join(_DIR, f"libvtaco_{name}.so")
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+    deps = [src] + [d for d in extra_deps if os.path.exists(d)]
+    if not os.path.exists(so) or os.path.getmtime(so) < max(
+        os.path.getmtime(d) for d in deps
+    ):
         if pre_build:
             pre_build()
         subprocess.run(
@@ -67,6 +70,13 @@ class _MC:
                 "mc",
                 pre_build=lambda: _generate_tables_header(
                     os.path.join(_DIR, "mc_tables.h")
+                ),
+                # the tables header is generated from mc_tables.py: an edit
+                # there must trigger a rebuild or the C++ and numpy MC
+                # implementations silently diverge
+                extra_deps=(
+                    os.path.join(os.path.dirname(_DIR), "generate",
+                                 "mc_tables.py"),
                 ),
             )
             lib.vtaco_mc_run.restype = ctypes.c_void_p

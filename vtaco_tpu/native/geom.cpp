@@ -114,14 +114,19 @@ void vtaco_kdtree_free(void* handle) { delete static_cast<KDTree*>(handle); }
 
 void vtaco_winding(const float* verts, int64_t nv, const int32_t* faces,
                    int64_t nf, const float* q, int64_t nq, float* out) {
-  (void)nv;
   for (int64_t p = 0; p < nq; ++p) {
     const double qx = q[3 * p], qy = q[3 * p + 1], qz = q[3 * p + 2];
     double acc = 0.0;
     for (int64_t f = 0; f < nf; ++f) {
-      const float* v0 = verts + 3 * faces[3 * f];
-      const float* v1 = verts + 3 * faces[3 * f + 1];
-      const float* v2 = verts + 3 * faces[3 * f + 2];
+      const int32_t i0 = faces[3 * f], i1 = faces[3 * f + 1],
+                    i2 = faces[3 * f + 2];
+      // malformed meshes must not read out of bounds; a skipped face
+      // contributes zero solid angle (same as padding triangles)
+      if (i0 < 0 || i1 < 0 || i2 < 0 || i0 >= nv || i1 >= nv || i2 >= nv)
+        continue;
+      const float* v0 = verts + 3 * i0;
+      const float* v1 = verts + 3 * i1;
+      const float* v2 = verts + 3 * i2;
       const double ax = v0[0] - qx, ay = v0[1] - qy, az = v0[2] - qz;
       const double bx = v1[0] - qx, by = v1[1] - qy, bz = v1[2] - qz;
       const double cx = v2[0] - qx, cy = v2[1] - qy, cz = v2[2] - qz;
@@ -185,6 +190,9 @@ void* vtaco_read_mesh(const char* path) {
     p = next;
     mesh->verts.reserve(3 * nv);
     for (long i = 0; i < 3 * nv; ++i) {
+      // comments are legal anywhere in an OFF body; a raw strtof on a '#'
+      // would return 0 without advancing and desync the whole parse
+      p = skip_ws_comments(p);
       mesh->verts.push_back(std::strtof(p, &next));
       p = next;
     }
@@ -195,6 +203,7 @@ void* vtaco_read_mesh(const char* path) {
       p = next;
       std::vector<long> poly(k);
       for (long j = 0; j < k; ++j) {
+        p = skip_ws_comments(p);
         poly[j] = std::strtol(p, &next, 10);
         p = next;
       }

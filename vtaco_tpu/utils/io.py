@@ -25,14 +25,15 @@ def load_pointcloud(in_file):
 def read_off(file):
     """Read an OFF file path (the reference took an open file handle)."""
     if hasattr(file, "read"):
-        import io as _io
+        import os
         import tempfile
 
         data = file.read()
-        verts_faces = None
         with tempfile.NamedTemporaryFile("w", suffix=".off", delete=False) as f:
             f.write(data if isinstance(data, str) else data.decode())
             path = f.name
-        verts_faces = meshio.read_off(path)
-        return verts_faces
+        try:
+            return meshio.read_off(path)
+        finally:
+            os.unlink(path)
     return meshio.read_off(file)

@@ -86,10 +86,6 @@ class VoxelGrid:
             return verts_map[p]
 
         r = self.resolution
-        # exposed faces in each axis direction
-        diffs = [
-            (np.s_[1:, :, :], np.s_[:-1, :, :], 0),
-        ]
         occ_core = occ[1:-1, 1:-1, 1:-1]
         nz = np.argwhere(occ_core)
         neighbor_offsets = [
