@@ -138,9 +138,6 @@ def main():
     from vtaco_tpu.generate.marching_cubes import marching_cubes
     from vtaco_tpu.ops.geometry import make_3d_grid
 
-    import jax.numpy as jnp
-    import numpy as np
-
     dev = _wait_for_device(jax)
     _mark(f"device ready: {dev.platform}")
     # Warm the device→host transfer path: the first non-tiny transfer in a
@@ -245,8 +242,6 @@ def main():
     n_points = pointsf.shape[0]
 
     # --- dense decode throughput (primary; single XLA dispatch) ----------
-    import jax.numpy as jnp
-
     # Distinct feature fields per repeat: the remote execution layer in
     # this harness caches identical (program, args) pairs, which fakes
     # near-zero repeat timings. Each variant is a genuinely different
@@ -480,7 +475,13 @@ def main():
             t0 = time.time()
             prev = None
             for r in range(n_flights):
-                cB = enc_b(variables, pts_b * (1.05 + 0.01 * r))
+                # fresh clouds per flight: scale factors can collide with
+                # the t_batched loop's and the remote layer serves repeated
+                # (program, args) pairs from cache (see c_variants above)
+                cB = enc_b(variables, jax.random.uniform(
+                    jax.random.PRNGKey(1000 + r), (B, 3000, 3),
+                    minval=-0.45, maxval=0.45,
+                ))
                 vals = gen.decode_dense_batched(state, nx, cB, dtype=serve_dtype,
                                                 return_device=True)
                 if prev is not None:

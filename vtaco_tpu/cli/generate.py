@@ -57,8 +57,10 @@ def main(argv=None):
         cfg["data"]["mesh_dir"] = os.path.join(args.mesh_root, "mesh_obj")
         cfg["data"]["depth_origin"] = os.path.join(args.mesh_root, "depth_origin.txt")
 
-    model, aux = get_model(cfg)
     dataset = get_dataset(args.split, cfg, return_idx=True)
+    # the dataset drives the crop feature resolution for pointcloud_crop
+    # configs (factory.py); without it the model builds at the default reso
+    model, aux = get_model(cfg, dataset=dataset)
     loader = BatchLoader(dataset, 1, shuffle=False,
                         num_workers=cfg["training"]["n_workers_val"])
 

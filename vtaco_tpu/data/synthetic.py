@@ -87,7 +87,10 @@ def generate(out_dir, n_models=4, n_query=10000, n_surface=20000,
         occupancies = occ_fn(points)
         surface = _surface_points(verts, faces, n_surface, rng)
         points_obj = _surface_points(verts, faces, 2048, rng)
-        contact = (occ_fn(points * 1.02) - occupancies > 0).astype(np.float32)
+        # near-surface shell just OUTSIDE the object: shrinking the query
+        # toward the origin must flip it to occupied (scaling the query
+        # OUTWARD tested the subset direction and labeled nothing)
+        contact = (occ_fn(points / 1.02) - occupancies > 0).astype(np.float32)
 
         # hand supervision: canonical-frame MANO geometry for a random pose
         pose45 = (rng.standard_normal(45) * 0.2).astype(np.float32)

@@ -160,13 +160,26 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
     )
 
     first_batch = next(iter(train_loader))
-    state = trainer.init_state(first_batch)
+    resume_file = os.path.join(out_dir, cfg["test"]["model_file"])
+    used_abstract_init = (
+        os.path.exists(resume_file)
+        and not cfg["test"]["model_file"].startswith(("http://", "https://"))
+    )
+    if used_abstract_init:
+        # a resume restore overwrites every value below — skip the
+        # multi-minute compiled init and build the structure only
+        state = trainer.init_state_abstract(first_batch)
+    else:
+        state = trainer.init_state(first_batch)
 
     # pretrained t2d grafting (conv_onet/config.py:131-133). Must precede
     # the resume restore (the reference grafts at model build, before
     # train.py loads model.pt): a resumed checkpoint's fine-tuned
-    # encoder_t2d weights win over the pretrained snapshot.
-    if aux.get("t2d_pretrained_file"):
+    # encoder_t2d weights win over the pretrained snapshot. A closure so
+    # the rare restore-fallback re-init below can re-apply it.
+    def graft_t2d(state):
+        if not aux.get("t2d_pretrained_file"):
+            return state
         t2d_file = aux["t2d_pretrained_file"]
         try:
             # raw (targetless) load: the t2d checkpoint's model structure is
@@ -207,7 +220,9 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
                   f"({', '.join(grafted)})")
         except FileNotFoundError:
             print(f"Warning: pretrained t2d checkpoint {t2d_file} not found")
+        return state
 
+    state = graft_t2d(state)
     ckpt = CheckpointIO(out_dir, state=state)
     epoch_it, it = 0, 0
     metric_val_best = -sign * np.inf
@@ -220,7 +235,11 @@ def train(cfg, exit_after: int = -1, max_iters: Optional[int] = None,
         metric_val_best = float(scalars.get("loss_val_best", metric_val_best))
         print(f"=> resumed at it={it} (best {metric}={metric_val_best:.6f})")
     except FileNotFoundError:
-        pass
+        if used_abstract_init:
+            # the checkpoint vanished between the exists-check and the
+            # load: fall back to the real compiled init — never train
+            # from the structure-only zeros
+            state = graft_t2d(trainer.init_state(first_batch))
     if not np.isfinite(metric_val_best):
         metric_val_best = -sign * np.inf
 
