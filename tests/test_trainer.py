@@ -102,6 +102,33 @@ def test_vtaco_t2d_img_path(synth):
     assert "iou" in ev and 0.0 <= ev["iou"] <= 1.0
 
 
+def test_contact_head_loss_path(synth):
+    """with_contact=True (compute_loss_contact, training.py:896-948): the
+    second decoder head trains against the near-surface contact labels.
+    The synthetic labels must not be degenerate (all-zero labels once made
+    this path vacuous) and the BCE must move under training."""
+    root, mesh_root = synth
+    cfg = _small_cfg("configs/VTacO/VTacO_YCB.yaml", root, mesh_root)
+    m = cfg["model"]
+    m.update(with_img=False, with_contact=True, encoder_t2d=False,
+             encoder_img=False, encoder_t2d_kwargs=None)
+    model, _ = get_model(cfg)
+    ds = get_dataset("train", cfg)
+    batch = next(iter(BatchLoader(ds, batch_size=2, num_workers=1, seed=0)))
+    assert np.asarray(batch["points.contact"]).sum() > 0, (
+        "synthetic contact labels are degenerate"
+    )
+    tr = Trainer.from_config(model, cfg)
+    state = tr.init_state(batch)
+    scs = []
+    for _ in range(3):
+        state, sc = tr.train_step(state, batch)
+        scs.append(sc)
+    assert "loss_contact" in scs[0]
+    assert all(np.isfinite(s["loss_contact"]) for s in scs)
+    assert scs[-1]["loss"] < scs[0]["loss"]
+
+
 def test_pred_depth_contact_mode(synth):
     """legacy_gt_depth=False (the non-quirk mode): train AND eval gate
     contact sampling on the t2d-predicted depths. Both must run finite,

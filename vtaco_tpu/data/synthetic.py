@@ -89,8 +89,10 @@ def generate(out_dir, n_models=4, n_query=10000, n_surface=20000,
         points_obj = _surface_points(verts, faces, 2048, rng)
         # near-surface shell just OUTSIDE the object: shrinking the query
         # toward the origin must flip it to occupied (scaling the query
-        # OUTWARD tested the subset direction and labeled nothing)
-        contact = (occ_fn(points / 1.02) - occupancies > 0).astype(np.float32)
+        # OUTWARD tested the subset direction and labeled nothing). A 10%
+        # shell keeps the labels present even at small n_query (~2-4% of
+        # uniform queries for these object scales).
+        contact = (occ_fn(points / 1.1) - occupancies > 0).astype(np.float32)
 
         # hand supervision: canonical-frame MANO geometry for a random pose
         pose45 = (rng.standard_normal(45) * 0.2).astype(np.float32)
