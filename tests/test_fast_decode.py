@@ -159,6 +159,61 @@ def test_pallas_trunk_odd_n(rng):
                                atol=0.05, rtol=0.05)
 
 
+def test_pallas_gated_trunk_matches(rng):
+    """The fused contact-gated kernel must equal gate_contact_cn feeding
+    the plain fused trunk (and the XLA trunk), including invalid contact
+    rows, untouched points, the last-finger-wins overwrite, and odd N."""
+    from vtaco_tpu.ops.pallas.decode import (
+        fused_trunk_gated_cn,
+        pack_trunk_params,
+    )
+
+    _, _, state, v = _setup(rng)
+    N, C, K = 593, 8, 16  # odd N: pad-to-tile must hold
+    tp = FT.extract_trunk_params(v["params"]["decoder"], 3, with_img=True)
+    p_cn = jnp.asarray(rng.uniform(-0.5, 0.5, (3, N)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((C, N)), jnp.float32)
+    # contact shells overlapping several fingers so overwrite order matters
+    gate_pts = jnp.asarray(rng.uniform(-0.4, 0.4, (5, K, 3)), jnp.float32)
+    gate_feat = jnp.asarray(rng.standard_normal((5, C)), jnp.float32)
+    gate_valid = jnp.asarray(rng.random((5, K)) > 0.3)
+    radius = 0.25  # wide: guarantee hits and multi-finger overlaps
+
+    c_img = FT.gate_contact_cn(p_cn, gate_pts, gate_feat, gate_valid,
+                               radius=radius)
+    want = FT.trunk_cn(tp, p_cn, feats, c_img)
+    packed = pack_trunk_params(tp, with_img=True)
+    got = fused_trunk_gated_cn(packed, p_cn, feats, gate_pts, gate_feat,
+                               gate_valid, radius=radius, tile=128,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # all-invalid gating == ungated with zero c_img
+    got_none = fused_trunk_gated_cn(
+        packed, p_cn, feats, gate_pts, gate_feat,
+        jnp.zeros((5, K), bool), radius=radius, tile=128, interpret=True
+    )
+    want_none = FT.trunk_cn(tp, p_cn, feats, jnp.zeros_like(c_img))
+    np.testing.assert_allclose(np.asarray(got_none), np.asarray(want_none),
+                               atol=1e-5)
+
+    # bf16 streaming mode rounds only the streamed operands (coords and
+    # feats); gating then sees the rounded coords, so the reference for
+    # exact comparison is the XLA path on identically-rounded inputs
+    # (boundary points can legitimately flip their hit mask otherwise)
+    p_r = p_cn.astype(jnp.bfloat16).astype(jnp.float32)
+    feats_r = feats.astype(jnp.bfloat16).astype(jnp.float32)
+    c_img_r = FT.gate_contact_cn(p_r, gate_pts, gate_feat, gate_valid,
+                                 radius=radius)
+    want_r = FT.trunk_cn(tp, p_r, feats_r, c_img_r)
+    got_bf16 = fused_trunk_gated_cn(packed, p_cn, feats, gate_pts,
+                                    gate_feat, gate_valid, radius=radius,
+                                    tile=128, store_dtype=jnp.bfloat16,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got_bf16), np.asarray(want_r),
+                               atol=1e-4)
+
+
 def test_pallas_trunk_vmapped_matches(rng):
     """vmap-of-Pallas — the batched serving trunk decode_dense_batched
     defaults to on TPU — must match the vmapped XLA trunk per object.

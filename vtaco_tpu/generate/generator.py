@@ -346,17 +346,11 @@ class Generator3D:
         box_size = 1 + self.padding
         feats = dense_feature_volume_cn(c, nx, box_size, self.padding, dtype)
         p_cn = jnp.asarray(dense_query_grid_cn(nx, box_size))
-        c_img = None
-        if gating == "tips":
-            c_img = FT.gate_tips_cn(p_cn, gate_pts, gate_feat, gate_valid,
-                                    dtype=dtype)
-        elif gating == "contact":
-            c_img = FT.gate_contact_cn(p_cn, gate_pts, gate_feat, gate_valid,
-                                       dtype=dtype)
         # the Pallas kernel hardcodes ReLU; leaky decoders use the XLA trunk
         if use_pallas and not leaky:
             from vtaco_tpu.ops.pallas.decode import (
                 fused_trunk_cn,
+                fused_trunk_gated_cn,
                 pack_trunk_params,
             )
 
@@ -367,10 +361,30 @@ class Generator3D:
             narrow = jnp.dtype(dtype).itemsize < 4
             packed = pack_trunk_params(trunk_params, with_img=gating != "none",
                                        dtype=jnp.float32)
+            if gating == "contact":
+                # gating fused into the kernel: the (5K, nx³) distance
+                # field and the (C, nx³) gated features never touch HBM
+                # (DESIGN.md § Pallas verdict — fused gating)
+                return fused_trunk_gated_cn(
+                    packed, p_cn, feats, gate_pts, gate_feat, gate_valid,
+                    dtype=jnp.float32,
+                    store_dtype=dtype if narrow else None,
+                    tile=pallas_tile)
+            c_img = None
+            if gating == "tips":
+                c_img = FT.gate_tips_cn(p_cn, gate_pts, gate_feat,
+                                        gate_valid, dtype=dtype)
             return fused_trunk_cn(packed, p_cn, feats, c_img,
                                   dtype=jnp.float32,
                                   store_dtype=dtype if narrow else None,
                                   tile=pallas_tile)
+        c_img = None
+        if gating == "tips":
+            c_img = FT.gate_tips_cn(p_cn, gate_pts, gate_feat, gate_valid,
+                                    dtype=dtype)
+        elif gating == "contact":
+            c_img = FT.gate_contact_cn(p_cn, gate_pts, gate_feat, gate_valid,
+                                       dtype=dtype)
         return FT.trunk_cn(trunk_params, p_cn, feats, c_img, dtype=dtype,
                            leaky=leaky)
 

@@ -61,11 +61,18 @@ def pack_trunk_params(tp, with_img: bool, dtype=jnp.float32):
     return packed
 
 
-def _trunk_kernel(n_blocks, dtype,
-                  w_in, b_in, wcp, bcp, w0, b0, w1, b1, w_out, b_out,
-                  x_ref, feats_ref, out_ref):
-    """x_ref: (in_dim, T) input projection operand (coords [+ c_img]);
-    feats_ref: (C, T) interpolated features; out_ref: (1, T) logits.
+def _dot(w, x):
+    return jax.lax.dot_general(
+        w, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mlp_chain(n_blocks, dtype, wcp, bcp, w0, b0, w1, b1, w_out, b_out,
+               feats, net):
+    """The conditioned ResNet-FC chain, given the post-input-projection
+    activations `net` (h, T) and interpolated features `feats` (C, T),
+    both already in registers/VMEM values.
 
     The n_blocks conditioning projections all consume the same `feats`,
     so they run as ONE (n_blocks·h, C) @ (C, T) dot up front — a 5×
@@ -73,26 +80,72 @@ def _trunk_kernel(n_blocks, dtype,
     (the per-block h=32 is only a quarter of the systolic array), and
     the f32 `cond` rows are then added into the residual chain by static
     slicing."""
+    h_dim = net.shape[0]
+    cond = _dot(wcp[:], feats) + bcp[:]                  # (n_blocks·h, T)
+    for i in range(n_blocks):
+        net = net + cond[i * h_dim:(i + 1) * h_dim]
+        h = _dot(w0[i], jnp.maximum(net, 0.0).astype(dtype)) + b0[i]
+        dx = _dot(w1[i], jnp.maximum(h, 0.0).astype(dtype)) + b1[i]
+        net = net + dx
+    return _dot(w_out[:], jnp.maximum(net, 0.0).astype(dtype)) + b_out[:]
 
-    def dot(w, x):
-        return jax.lax.dot_general(
-            w[:], x, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
+def _trunk_kernel(n_blocks, dtype,
+                  w_in, b_in, wcp, bcp, w0, b0, w1, b1, w_out, b_out,
+                  x_ref, feats_ref, out_ref):
+    """x_ref: (in_dim, T) input projection operand (coords [+ c_img]);
+    feats_ref: (C, T) interpolated features; out_ref: (1, T) logits."""
     # feats may be stored narrower (bf16) than the compute dtype: the
     # cast happens in VMEM, the MXU dots stay `dtype` (f32 — this Mosaic
     # toolchain rejects bf16 MXU dots).
     feats = feats_ref[:].astype(dtype)
-    h_dim = w_in.shape[0]
-    cond = dot(wcp, feats) + bcp[:]                      # (n_blocks·h, T)
-    net = dot(w_in, x_ref[:].astype(dtype)) + b_in[:]
-    for i in range(n_blocks):
-        net = net + cond[i * h_dim:(i + 1) * h_dim]
-        h = dot(w0[i], jnp.maximum(net, 0.0).astype(dtype)) + b0[i]
-        dx = dot(w1[i], jnp.maximum(h, 0.0).astype(dtype)) + b1[i]
-        net = net + dx
-    out = dot(w_out, jnp.maximum(net, 0.0).astype(dtype)) + b_out[:]
+    net = _dot(w_in[:], x_ref[:].astype(dtype)) + b_in[:]
+    out = _mlp_chain(n_blocks, dtype, wcp, bcp, w0, b0, w1, b1, w_out,
+                     b_out, feats, net)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _trunk_gated_kernel(n_blocks, n_fingers, dtype, r2,
+                        w_in, b_in, wcp, bcp, w0, b0, w1, b1, w_out, b_out,
+                        q, q2, gfeat_t, x_ref, feats_ref, out_ref):
+    """Contact-gated trunk: the gating distance field never leaves VMEM.
+
+    The XLA composition materializes a (5K, N) squared-distance matrix in
+    HBM (≥5 GB at 128³) plus the gathered (C, N) per-point tactile
+    features; here each tile computes its (K, T) distances per finger as
+    one small MXU dot, reduces them to a hit mask on the VPU, selects the
+    finger feature column in registers and feeds the input projection
+    directly — HBM sees only coords + interpolated feats.
+
+    q (5K, 3) contact points; q2 (5K, 1) their squared norms with invalid
+    rows poisoned to 1e30 (so they can never pass the radius test — this
+    replaces the boolean validity mask); gfeat_t (C, 5) per-finger
+    features. Reference semantics (fast_trunk.gate_contact_cn /
+    generation.py:248-255): within-radius test per contact point, any()
+    per finger, the LAST touching finger wins, untouched points get zero
+    features. x_ref holds coords only (3, T); w_in is the (h, 3+C)
+    forward_img projection, split statically into its coord and c_img
+    halves."""
+    K = q.shape[0] // n_fingers
+    p = x_ref[:].astype(dtype)                           # (3, T)
+    p2 = jnp.sum(p * p, axis=0, keepdims=True)           # (1, T)
+    feats = feats_ref[:].astype(dtype)
+    c_img = jnp.zeros((gfeat_t.shape[0], p.shape[1]), jnp.float32)
+    for f in range(n_fingers):
+        qf = q[f * K:(f + 1) * K, :]                     # (K, 3)
+        q2f = q2[f * K:(f + 1) * K, :]                   # (K, 1)
+        d2 = q2f + p2 - 2.0 * _dot(qf, p)                # (K, T)
+        hit = jnp.max(
+            jnp.where(d2 < r2, 1.0, 0.0), axis=0, keepdims=True
+        )                                                # (1, T)
+        c_img = jnp.where(hit > 0.0, gfeat_t[:, f:f + 1], c_img)
+    net = (
+        _dot(w_in[:, :3], p)
+        + _dot(w_in[:, 3:], c_img.astype(dtype))
+        + b_in[:]
+    )
+    out = _mlp_chain(n_blocks, dtype, wcp, bcp, w0, b0, w1, b1, w_out,
+                     b_out, feats, net)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
@@ -172,6 +225,91 @@ def fused_trunk_cn(packed, p_cn, feats_cn, c_img_cn=None, *,
         packed["bc"].reshape(n_blocks * h_dim, 1),
         packed["w0"], packed["b0"], packed["w1"], packed["b1"],
         packed["w_out"], packed["b_out"],
+        x, feats_cn.astype(store_dtype),
+    )
+    return out[0, :N]
+
+
+def fused_trunk_gated_cn(packed, p_cn, feats_cn, gate_pts, gate_feat,
+                         gate_valid, *, radius=0.015, tile=None,
+                         dtype=jnp.float32, store_dtype=None,
+                         interpret=False):
+    """Contact-gated fused trunk: gating + decoder in one kernel.
+
+    Equivalent to ``fast_trunk.gate_contact_cn`` feeding
+    :func:`fused_trunk_cn`, but the (5K, N) distance field and the (C, N)
+    gated feature matrix are never materialized in HBM — each tile
+    recomputes its gating from the (5K, 3) contact points resident in
+    VMEM (a few KB). ``packed`` must be the ``with_img=True`` packing
+    (w_in is the (h, 3+C) forward_img projection).
+
+    Args:
+      gate_pts: (5, K, 3) per-finger contact points.
+      gate_feat: (5, C) per-finger tactile features.
+      gate_valid: (5, K) bool validity (padding mask).
+      radius: contact-assignment radius (generation.py:251).
+    Returns (N,) float32 logits.
+    """
+    C, N = feats_cn.shape
+    if store_dtype is None:
+        store_dtype = dtype
+    if tile is None:
+        if jnp.dtype(store_dtype).itemsize < 4:
+            tile = 4096
+        else:
+            tile = 2048 if N <= 2 ** 22 else 4096
+    if N < tile:
+        tile = min(tile, max(128, -(-N // 128) * 128))
+    n_blocks = packed["wc"].shape[0]
+    n_fingers, K, _ = gate_pts.shape
+
+    # invalid contact rows: poison the |q|² term so the radius test can
+    # never pass (replaces the boolean mask inside the kernel)
+    q = gate_pts.reshape(n_fingers * K, 3).astype(jnp.float32)
+    q2 = jnp.where(
+        gate_valid.reshape(n_fingers * K, 1),
+        jnp.sum(q * q, axis=1, keepdims=True),
+        jnp.float32(1e30),
+    )
+
+    x = p_cn.astype(store_dtype)
+    n_pad = (-N) % tile
+    if n_pad:
+        x = jnp.pad(x, ((0, 0), (0, n_pad)))
+        feats_cn = jnp.pad(feats_cn, ((0, 0), (0, n_pad)))
+    np_total = N + n_pad
+
+    kernel = functools.partial(
+        _trunk_gated_kernel, n_blocks, n_fingers, dtype,
+        float(radius) * float(radius),
+    )
+    const_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(13)
+    ]
+    grid_spec = pl.GridSpec(
+        grid=(np_total // tile,),
+        in_specs=const_specs + [
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    h_dim = packed["w_in"].shape[0]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, np_total), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        packed["w_in"], packed["b_in"],
+        packed["wc"].reshape(n_blocks * h_dim, -1),
+        packed["bc"].reshape(n_blocks * h_dim, 1),
+        packed["w0"], packed["b0"], packed["w1"], packed["b1"],
+        packed["w_out"], packed["b_out"],
+        q, q2, gate_feat.T.astype(jnp.float32),
         x, feats_cn.astype(store_dtype),
     )
     return out[0, :N]
