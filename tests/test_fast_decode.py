@@ -197,6 +197,22 @@ def test_pallas_gated_trunk_matches(rng):
     np.testing.assert_allclose(np.asarray(got_none), np.asarray(want_none),
                                atol=1e-5)
 
+    # clustered contacts + tight radius: most tiles' conservative activity
+    # mask is empty, so the skip path (pl.when) must still match exactly,
+    # including points right at a tile boundary
+    gate_tight = jnp.asarray(
+        0.31 + 0.02 * rng.standard_normal((5, K, 3)), jnp.float32
+    )
+    c_img_t = FT.gate_contact_cn(p_cn, gate_tight, gate_feat, gate_valid,
+                                 radius=0.03)
+    assert float(jnp.abs(c_img_t).sum()) > 0  # some points do gate
+    want_t = FT.trunk_cn(tp, p_cn, feats, c_img_t)
+    got_t = fused_trunk_gated_cn(packed, p_cn, feats, gate_tight,
+                                 gate_feat, gate_valid, radius=0.03,
+                                 tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=1e-5)
+
     # bf16 streaming mode rounds only the streamed operands (coords and
     # feats); gating then sees the rounded coords, so the reference for
     # exact comparison is the XLA path on identically-rounded inputs

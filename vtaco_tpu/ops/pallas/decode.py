@@ -106,16 +106,26 @@ def _trunk_kernel(n_blocks, dtype,
 
 
 def _trunk_gated_kernel(n_blocks, n_fingers, dtype, r2,
+                        active_ref,
                         w_in, b_in, wcp, bcp, w0, b0, w1, b1, w_out, b_out,
-                        q, q2, gfeat_t, x_ref, feats_ref, out_ref):
+                        q, q2, gfeat_t, x_ref, feats_ref, out_ref,
+                        c_img_ref):
     """Contact-gated trunk: the gating distance field never leaves VMEM.
 
     The XLA composition materializes a (5K, N) squared-distance matrix in
     HBM (≥5 GB at 128³) plus the gathered (C, N) per-point tactile
     features; here each tile computes its (K, T) distances per finger as
     one small MXU dot, reduces them to a hit mask on the VPU, selects the
-    finger feature column in registers and feeds the input projection
-    directly — HBM sees only coords + interpolated feats.
+    finger feature column in a VMEM scratch and feeds the input
+    projection directly — HBM sees only coords + interpolated feats.
+
+    ``active_ref`` (n_tiles, n_fingers) is a scalar-prefetched
+    conservative tile×finger activity mask (host-computed from the tile
+    bounding boxes — a finger whose every valid contact point is farther
+    than `radius` from the tile's AABB cannot gate any of its points):
+    inactive fingers skip their distance dot entirely via pl.when.
+    Contacts cover a tiny fraction of the query box in real captures, so
+    most tiles skip all five dots and run at ungated speed.
 
     q (5K, 3) contact points; q2 (5K, 1) their squared norms with invalid
     rows poisoned to 1e30 (so they can never pass the radius test — this
@@ -126,22 +136,30 @@ def _trunk_gated_kernel(n_blocks, n_fingers, dtype, r2,
     features. x_ref holds coords only (3, T); w_in is the (h, 3+C)
     forward_img projection, split statically into its coord and c_img
     halves."""
+    i = pl.program_id(0)
     K = q.shape[0] // n_fingers
     p = x_ref[:].astype(dtype)                           # (3, T)
-    p2 = jnp.sum(p * p, axis=0, keepdims=True)           # (1, T)
     feats = feats_ref[:].astype(dtype)
-    c_img = jnp.zeros((gfeat_t.shape[0], p.shape[1]), jnp.float32)
+    c_img_ref[:] = jnp.zeros_like(c_img_ref)
+    # scalar-prefetch refs live in SMEM: only scalar loads are legal, so
+    # the gate is one pl.when per finger (no vector any-active row load)
+    p2 = jnp.sum(p * p, axis=0, keepdims=True)           # (1, T)
     for f in range(n_fingers):
-        qf = q[f * K:(f + 1) * K, :]                     # (K, 3)
-        q2f = q2[f * K:(f + 1) * K, :]                   # (K, 1)
-        d2 = q2f + p2 - 2.0 * _dot(qf, p)                # (K, T)
-        hit = jnp.max(
-            jnp.where(d2 < r2, 1.0, 0.0), axis=0, keepdims=True
-        )                                                # (1, T)
-        c_img = jnp.where(hit > 0.0, gfeat_t[:, f:f + 1], c_img)
+        @pl.when(active_ref[i, f] != 0)
+        def _finger(f=f):
+            qf = q[f * K:(f + 1) * K, :]                 # (K, 3)
+            q2f = q2[f * K:(f + 1) * K, :]               # (K, 1)
+            d2 = q2f + p2 - 2.0 * _dot(qf, p)            # (K, T)
+            hit = jnp.max(
+                jnp.where(d2 < r2, 1.0, 0.0), axis=0, keepdims=True
+            )                                            # (1, T)
+            c_img_ref[:] = jnp.where(
+                hit > 0.0, gfeat_t[:, f:f + 1], c_img_ref[:]
+            )
+
     net = (
         _dot(w_in[:, :3], p)
-        + _dot(w_in[:, 3:], c_img.astype(dtype))
+        + _dot(w_in[:, 3:], c_img_ref[:].astype(dtype))
         + b_in[:]
     )
     out = _mlp_chain(n_blocks, dtype, wcp, bcp, w0, b0, w1, b1, w_out,
@@ -266,18 +284,43 @@ def fused_trunk_gated_cn(packed, p_cn, feats_cn, gate_pts, gate_feat,
     # invalid contact rows: poison the |q|² term so the radius test can
     # never pass (replaces the boolean mask inside the kernel)
     q = gate_pts.reshape(n_fingers * K, 3).astype(jnp.float32)
+    valid_col = gate_valid.reshape(n_fingers * K, 1)
     q2 = jnp.where(
-        gate_valid.reshape(n_fingers * K, 1),
+        valid_col,
         jnp.sum(q * q, axis=1, keepdims=True),
         jnp.float32(1e30),
     )
 
     x = p_cn.astype(store_dtype)
+    # the activity mask must bound the coords the KERNEL sees — i.e. the
+    # store_dtype-rounded values, not the f32 originals (a bf16-rounded
+    # point can drift ~1e-3 past an f32 bounding box)
+    p32 = x.astype(jnp.float32)
     n_pad = (-N) % tile
     if n_pad:
+        # pad coords with a far-away sentinel so padding can't activate a
+        # tile's gating (the padded logits are sliced off anyway)
         x = jnp.pad(x, ((0, 0), (0, n_pad)))
+        p32 = jnp.pad(p32, ((0, 0), (0, n_pad)), constant_values=1e3)
         feats_cn = jnp.pad(feats_cn, ((0, 0), (0, n_pad)))
     np_total = N + n_pad
+    n_tiles = np_total // tile
+
+    # conservative tile×finger activity mask (scalar-prefetched): a finger
+    # is active for a tile iff some VALID contact point is within `radius`
+    # of the tile's axis-aligned bounding box — tiles far from every
+    # contact then skip all distance dots inside the kernel. Exactness is
+    # preserved: any point that could pass the radius test keeps its
+    # finger active.
+    pt = p32.reshape(3, n_tiles, tile)
+    lo = jnp.min(pt, axis=2)                              # (3, n_tiles)
+    hi = jnp.max(pt, axis=2)
+    clamped = jnp.clip(q.T[:, :, None], lo[:, None, :], hi[:, None, :])
+    d2_box = jnp.sum((clamped - q.T[:, :, None]) ** 2, axis=0)  # (5K, n_tiles)
+    within = (d2_box <= radius * radius) & valid_col      # (5K, n_tiles)
+    active = jnp.any(
+        within.reshape(n_fingers, K, n_tiles), axis=1
+    ).T.astype(jnp.int32)                                 # (n_tiles, 5)
 
     kernel = functools.partial(
         _trunk_gated_kernel, n_blocks, n_fingers, dtype,
@@ -286,16 +329,18 @@ def fused_trunk_gated_cn(packed, p_cn, feats_cn, gate_pts, gate_feat,
     const_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(13)
     ]
-    grid_spec = pl.GridSpec(
-        grid=(np_total // tile,),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
         in_specs=const_specs + [
-            pl.BlockSpec((3, tile), lambda i: (0, i),
+            pl.BlockSpec((3, tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, tile), lambda i: (0, i),
+            pl.BlockSpec((C, tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, tile), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((C, tile), jnp.float32)],
     )
     h_dim = packed["w_in"].shape[0]
     out = pl.pallas_call(
@@ -304,6 +349,7 @@ def fused_trunk_gated_cn(packed, p_cn, feats_cn, gate_pts, gate_feat,
         grid_spec=grid_spec,
         interpret=interpret,
     )(
+        active,
         packed["w_in"], packed["b_in"],
         packed["wc"].reshape(n_blocks * h_dim, -1),
         packed["bc"].reshape(n_blocks * h_dim, 1),
