@@ -87,6 +87,12 @@ def main():
                          "dispatch over a device-resident dataset with the "
                          "production-fast recipe (bf16 mixed precision + "
                          "skip_unused_t2d); 0 disables")
+    ap.add_argument("--train-scaling", action="store_true", default=True,
+                    help="with --train: fused-recipe batch-scaling study "
+                         "(B=6, B=12+remat next to the parity B); each B "
+                         "adds a multi-minute compile on a cold cache")
+    ap.add_argument("--no-train-scaling", dest="train_scaling",
+                    action="store_false")
     ap.add_argument("--mise", action="store_true", default=None,
                     help="also measure 256^3 MISE multi-resolution "
                          "extraction (default on except --tiny)")
@@ -281,6 +287,12 @@ def main():
     # the headline is the best observed transfer-inclusive decode
     t_decode = min(t_decode_fast, t_decode_bf16, t_decode_module)
     pts_per_sec = n_points / t_decode
+    # int8-scaled transfer (quarter payload; values within one quantization
+    # step of exact) — reported separately from the exact-value headline
+    try:
+        _, t_decode_int8, _ = bench_dense(fast=True, transfer_dtype=jnp.int8)
+    except Exception:
+        t_decode_int8 = 0.0  # sentinel: section failed (0 never measured)
 
     # XLA-estimated FLOPs of the dense-decode program → achieved model
     # FLOP/s at the measured (transfer-inclusive) latency. v5e peak is
@@ -302,14 +314,26 @@ def main():
     except Exception:
         pass  # cost analysis is best-effort (backend-dependent)
 
-    # --- scattered (arbitrary-point) decode, chunked legacy path ---------
-    _mark("scattered decode")
+    # --- scattered (arbitrary-point) decode -------------------------------
+    # default path: gather-interp + fused trunk, one dispatch + one bf16
+    # transfer (eval_points_fast); legacy: the (N, C)-layout chunk-stack
+    # lax.map path kept for crops/comparison
+    _mark("scattered decode (fast)")
     gen.eval_points(state, pointsf, c_variants[0], args.gating, gate_pts,
                     gate_feat, gate_valid)  # warmup/compile
+    t_scatter = np.inf
+    for r in range(max(args.repeats - 2, 2)):
+        t0 = time.time()
+        gen.eval_points(state, pointsf, c_variants[r + 1], args.gating,
+                        gate_pts, gate_feat, gate_valid)
+        t_scatter = min(t_scatter, time.time() - t0)
+    _mark("scattered decode (legacy chunk-stack)")
+    gen.eval_points(state, pointsf, c_variants[0], args.gating, gate_pts,
+                    gate_feat, gate_valid, fast=False)  # warmup/compile
     t0 = time.time()
     gen.eval_points(state, pointsf, c_variants[1], args.gating, gate_pts,
-                    gate_feat, gate_valid)
-    t_scatter = time.time() - t0
+                    gate_feat, gate_valid, fast=False)
+    t_scatter_legacy = time.time() - t0
 
     # --- reference-pattern baseline: the PyTorch reference's eval_points
     # hot loop (generation.py:338-383) dispatches one decode chunk at a
@@ -374,23 +398,61 @@ def main():
             *(c_variants[(i % len(c_variants))] for i in range(k)),
         )
 
-    def amortized_slope(use_pallas):
-        repeat_decode = make_repeat_decode(use_pallas)
-        k_lo, k_hi = (2, 6) if args.tiny else (2, 10)
+    def slope_of(run_fn, k_lo, k_hi):
+        """Per-decode device time from a two-point K sweep: run_fn(k_stack)
+        must block on a scalar-sized host result; fixed per-call costs
+        (~30 ms dispatch through the tunnel) cancel in the slope."""
         times = {}
         for k in (k_lo, k_hi):
-            st = stack_variants(k, 1.0)
-            np.asarray(repeat_decode(tp_amort, st, gate_pts, gate_feat,
-                                     gate_valid))  # warm/compile
+            run_fn(stack_variants(k, 1.0))  # warm/compile
             best = np.inf
             for r in range(max(args.repeats // 2, 2)):
                 st = stack_variants(k, 1.0 + 1e-3 * (r + 1))
                 t0 = time.time()
-                np.asarray(repeat_decode(tp_amort, st, gate_pts, gate_feat,
-                                         gate_valid))
+                run_fn(st)
                 best = min(best, time.time() - t0)
             times[k] = best
         return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+
+    def amortized_slope(use_pallas):
+        repeat_decode = make_repeat_decode(use_pallas)
+        k_lo, k_hi = (2, 6) if args.tiny else (2, 10)
+        return slope_of(
+            lambda st: np.asarray(
+                repeat_decode(tp_amort, st, gate_pts, gate_feat, gate_valid)
+            ),
+            k_lo, k_hi,
+        )
+
+    def amortized_ref_pattern_slope():
+        """Device-side apples-to-apples counterpart of
+        decode_reference_pattern_s: the reference's chunked (N, C)-layout
+        module decode (generation.py:338-383) K-amortized exactly like the
+        fused path above, so decode_device_vs_reference_pattern compares
+        pure device compute with dispatch/transfer costs cancelled."""
+        k_chunks = -(-n_points // args.chunk)
+        pts_pad = np.zeros((k_chunks * args.chunk, 3), np.float32)
+        pts_pad[:n_points] = pointsf_np
+        pts_stack = jnp.asarray(pts_pad.reshape(k_chunks, args.chunk, 3))
+
+        @jax.jit
+        def repeat_ref(variables, pts_k, c_stack, gpts, gfeat, gvalid):
+            def one(ci):
+                return gen._decode_chunks_scan_impl(
+                    variables, pts_k, ci, gpts, gfeat, gvalid, args.gating
+                ).mean()
+
+            return jax.lax.map(one, c_stack)
+
+        # the chunked module decode is ~10x slower per pass: a small K
+        # pair keeps this section bounded (slope math is K-exact)
+        return slope_of(
+            lambda st: np.asarray(
+                repeat_ref(variables_dec, pts_stack, st, gate_pts,
+                           gate_feat, gate_valid)
+            ),
+            1, 3,
+        )
 
     # primary estimate runs the trunk the framework actually defaults to
     # (Pallas on TPU, XLA elsewhere/leaky); --pallas-compare adds the
@@ -408,6 +470,24 @@ def main():
             }
     except Exception as e:  # best-effort: never sink the headline metric
         amort_detail = {"decode_device_est_error": repr(e)[:120]}
+    if not args.tiny and "decode_device_s_est" in amort_detail:
+        _mark("K-amortized reference-pattern estimate")
+        try:
+            slope_ref = amortized_ref_pattern_slope()
+            if slope_ref > 0:
+                amort_detail["decode_device_ref_pattern_s_est"] = round(
+                    slope_ref, 4
+                )
+                # the honest device-compute throughput ratio: both sides
+                # K-amortized on the same chip, dispatch/transfer cancelled
+                # (the transfer-inclusive decode_vs_reference_pattern below
+                # is capped near ~10 by the harness tunnel's ~0.15 s RTT
+                # floor regardless of kernel quality — docs/DESIGN.md)
+                amort_detail["decode_device_vs_reference_pattern"] = round(
+                    slope_ref / slope, 2
+                )
+        except Exception as e:
+            amort_detail["decode_device_ref_pattern_error"] = repr(e)[:120]
     if args.pallas_compare:
         other = "xla" if pallas_default else "pallas"
         try:
@@ -472,16 +552,24 @@ def main():
                                        gradient="ascent") for b in range(B)]
 
             n_flights = 3
+            # fresh clouds per flight: scale factors can collide with
+            # the t_batched loop's and the remote layer serves repeated
+            # (program, args) pairs from cache (see c_variants above).
+            # Generated OUTSIDE the timed loop: eager PRNG ops are extra
+            # ~30 ms dispatches each through the tunnel, which made the
+            # round-2 pipelined rate read BELOW the unpipelined one.
+            flight_pts = [
+                jax.random.uniform(
+                    jax.random.PRNGKey(1000 + r), (B, 3000, 3),
+                    minval=-0.45, maxval=0.45,
+                )
+                for r in range(n_flights)
+            ]
+            jax.block_until_ready(flight_pts)
             t0 = time.time()
             prev = None
             for r in range(n_flights):
-                # fresh clouds per flight: scale factors can collide with
-                # the t_batched loop's and the remote layer serves repeated
-                # (program, args) pairs from cache (see c_variants above)
-                cB = enc_b(variables, jax.random.uniform(
-                    jax.random.PRNGKey(1000 + r), (B, 3000, 3),
-                    minval=-0.45, maxval=0.45,
-                ))
+                cB = enc_b(variables, flight_pts[r])
                 vals = gen.decode_dense_batched(state, nx, cB, dtype=serve_dtype,
                                                 return_device=True)
                 if prev is not None:
@@ -541,14 +629,21 @@ def main():
                     c,
                 )
 
-                def serve_mise(cB):
-                    grids, lvls = multires_decode_batched(gen, state, cB, 64, 2,
-                                                          None)
+                def mc_mise(grids, lvls):
                     return [
                         marching_cubes(g[:-1, :-1, :-1], level=lv,
                                        gradient="ascent")
                         for g, lv in zip(grids, lvls)
                     ]
+
+                def serve_mise(cB):
+                    t0 = time.time()
+                    grids, lvls = multires_decode_batched(gen, state, cB, 64,
+                                                          2, None)
+                    t_refine = time.time() - t0
+                    t0 = time.time()
+                    meshes = mc_mise(grids, lvls)
+                    return meshes, t_refine, time.time() - t0
 
                 serve_mise(cB_mise)  # warm/compile
                 t_mise_b = np.inf
@@ -556,15 +651,51 @@ def main():
                     cB_v = jax.tree.map(lambda x: x * (1.0 + 1e-3 * (r + 1)),
                                         cB_mise)
                     t0 = time.time()
-                    meshes_m = serve_mise(cB_v)
-                    t_mise_b = min(t_mise_b, time.time() - t0)
+                    meshes_m, t_refine_b, t_mc_b = serve_mise(cB_v)
+                    tot = time.time() - t0
+                    if tot < t_mise_b:
+                        t_mise_b = tot
+                        split = (t_refine_b, t_mc_b)
                 mise_detail.update(
                     mise256_batched_objects=Bm,
                     mise256_batched_total_s=round(t_mise_b, 3),
                     mise256_batched_objects_per_sec=round(Bm / t_mise_b, 2),
+                    # device refinement (incl. per-level transfers + host
+                    # bookkeeping) vs host-MC split of the best run
+                    mise256_batched_refine_s=round(split[0], 3),
+                    mise256_batched_mc_s=round(split[1], 3),
                     mise256_batched_verts=int(
                         np.mean([len(v) for v, _ in meshes_m])
                     ),
+                )
+
+                # pipelined sustained rate: flight r's host marching cubes
+                # runs in a worker thread (the C++ MC and the tunnel fetches
+                # both release the GIL) while flight r+1's device refinement
+                # is in progress
+                from concurrent.futures import ThreadPoolExecutor
+
+                n_fl = 2
+                flight_cs = [
+                    jax.tree.map(lambda x: x * (1.0 + 1e-3 * (10 + r)),
+                                 cB_mise)
+                    for r in range(n_fl)
+                ]
+                jax.block_until_ready(flight_cs)
+                with ThreadPoolExecutor(1) as ex:
+                    t0 = time.time()
+                    fut = None
+                    for r in range(n_fl):
+                        grids, lvls = multires_decode_batched(
+                            gen, state, flight_cs[r], 64, 2, None
+                        )
+                        if fut is not None:
+                            fut.result()
+                        fut = ex.submit(mc_mise, grids, lvls)
+                    fut.result()
+                    t_mise_pipe = time.time() - t0
+                mise_detail["mise256_batched_pipelined_objects_per_sec"] = (
+                    round(Bm * n_fl / t_mise_pipe, 2)
                 )
 
         except Exception as e:
@@ -672,6 +803,70 @@ def main():
                     train_fused_steps_per_sec=round(K / t_block, 3),
                     train_fused_compile_s=round(t_fused_first, 1),
                 )
+                if args.train_scaling:
+                    # fused-recipe batch scaling: arithmetic intensity (and
+                    # MXU utilization) grows with batch; per-B samples/s
+                    # decides the shipped fast-config batch. B=12 runs
+                    # rematerialized (activation memory at full spatial
+                    # size); B=6 fits without.
+                    scal_detail = {
+                        str(args.train_batch): {
+                            "step_s": round(t_block / K, 4),
+                            "samples_per_sec": round(
+                                args.train_batch * K / t_block, 2
+                            ),
+                            "remat": bool(args.train_remat),
+                        }
+                    }
+                    for B_s, remat_s in ((6, False), (12, True)):
+                        if B_s == args.train_batch:
+                            continue
+                        try:
+                            _mark(f"train batch-scaling B={B_s}"
+                                  f"{' (remat)' if remat_s else ''}")
+                            if remat_s:
+                                tr_s = Trainer.from_config(
+                                    model, tcfg, mesh_bank=bank, remat=True,
+                                    skip_unused_t2d=True,
+                                    compute_dtype="bfloat16",
+                                )
+                                fused_s = tr_s.make_fused_train_fn(
+                                    dds, loader.n_points, loader.n_cloud
+                                )
+                            else:
+                                tr_s, fused_s = fast_trainer, fused
+                            st_s = tr_s.init_state(batch)
+                            loader_s = DeviceBatchLoader(
+                                dds, B_s, n_points=loader.n_points,
+                                n_cloud=loader.n_cloud,
+                            )
+                            k0s = loader_s.next_key()
+                            ids0s = jnp.asarray(loader_s.take_ids(K))
+                            fused_cs = fused_s.lower(st_s, k0s, ids0s).compile()
+                            st_s, scal_s = fused_cs(st_s, k0s, ids0s)
+                            _ = {k: np.asarray(v) for k, v in scal_s.items()}
+                            blocks_s = []
+                            for _ in range(2):
+                                t0 = time.time()
+                                st_s, scal_s = fused_cs(
+                                    st_s, loader_s.next_key(),
+                                    jnp.asarray(loader_s.take_ids(K)),
+                                )
+                                _ = {k: np.asarray(v)
+                                     for k, v in scal_s.items()}
+                                blocks_s.append(time.time() - t0)
+                            tb_s = min(blocks_s)
+                            scal_detail[str(B_s)] = {
+                                "step_s": round(tb_s / K, 4),
+                                "samples_per_sec": round(B_s * K / tb_s, 2),
+                                "remat": remat_s,
+                            }
+                            del st_s
+                        except Exception as e:
+                            scal_detail[str(B_s)] = {
+                                "error": repr(e)[:160]
+                            }
+                    train_detail["train_batch_scaling"] = scal_detail
                 try:
                     cost = fused_c.cost_analysis()
                     if isinstance(cost, (list, tuple)):
@@ -710,14 +905,20 @@ def main():
             "decode_s": round(t_decode, 4),
             "decode_fast_s": round(t_decode_fast, 4),
             "decode_bf16_s": round(t_decode_bf16, 4),
+            "decode_int8_s": round(t_decode_int8, 4),
             "decode_module_s": round(t_decode_module, 4),
             "decode_scattered_s": round(t_scatter, 4),
+            "decode_scattered_legacy_s": round(t_scatter_legacy, 4),
             "decode_first_s": round(t_decode_first, 2),
             # the reference's per-chunk-dispatch decode pattern
             # (generation.py:338-383) on the same hardware + its ratio to
             # the fused single-dispatch headline above
             "decode_reference_pattern_s": round(t_ref_pattern, 4),
             "decode_vs_reference_pattern": round(t_ref_pattern / t_decode, 2),
+            "decode_vs_reference_pattern_int8": (
+                round(t_ref_pattern / t_decode_int8, 2)
+                if t_decode_int8 > 0 else 0.0
+            ),
             **amort_detail,
             "object_latency_s": round(t_object, 4),
             # encode_s is a min over distinct inputs; object_latency_s

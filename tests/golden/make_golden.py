@@ -33,19 +33,20 @@ from vtaco_tpu.core.config import get_model  # noqa: E402
 
 from tests.reference_shim import build_reference_model  # noqa: E402
 from tests.test_golden_parity import (  # noqa: E402
-    GOLDEN,
+    GOLDEN_WIDTHS,
+    _golden_path,
     golden_cfg,
     golden_inputs,
 )
 
 
-def main():
-    cfg = golden_cfg()
+def make_one(width):
+    cfg = golden_cfg(width)
     torch.manual_seed(0)
     ref = build_reference_model(copy.deepcopy(cfg))
 
     model, _ = get_model(cfg)
-    pts, imgs, p, c_img = golden_inputs(np.random.default_rng(1))
+    pts, imgs, p, c_img = golden_inputs(np.random.default_rng(1), width)
 
     def init_fn(mm):
         c = mm.encode_inputs(jnp.asarray(pts), train=False)
@@ -59,6 +60,7 @@ def main():
     )
     zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
 
+    GOLDEN = _golden_path(width)
     ckpt = "/tmp/golden_ref_ckpt.pt"
     torch.save({"model": ref.state_dict(), "epoch_it": 0, "it": 0,
                 "loss_val_best": 0.0}, ckpt)
@@ -94,6 +96,11 @@ def main():
     n_par = sum(v.size for k, v in out.items() if k.startswith("param/"))
     print(f"wrote {GOLDEN}: {len(out)} arrays, {n_par:,} params, "
           f"{os.path.getsize(GOLDEN) / 1e6:.2f} MB")
+
+
+def main():
+    for width in GOLDEN_WIDTHS:
+        make_one(width)
 
 
 if __name__ == "__main__":

@@ -64,6 +64,21 @@ def test_fast_dense_matches_module_paths(rng):
     np.testing.assert_allclose(fast9, slow9, atol=1e-5)
 
 
+def test_dense_decode_int8_transfer(rng):
+    """transfer_dtype=int8 returns scale-dequantized logits within one
+    quantization step of the exact f32 decode (quarter-payload transfer
+    mode for the tunnel-bound serving path)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    exact = gen.eval_points_dense(state, 16, c_planes,
+                                  transfer_dtype=jnp.float32)
+    q = gen.eval_points_dense(state, 16, c_planes, transfer_dtype=jnp.int8)
+    step = np.abs(exact).max() / 127.0
+    np.testing.assert_allclose(q, exact, atol=step * 1.01)
+
+
 def test_eval_points_single_dispatch_matches_chunked(rng):
     """The scattered decode's fused lax.map path (one dispatch for all
     chunks) must match the reference-style per-chunk loop, including the
@@ -314,3 +329,69 @@ def test_fast_dense_leaky_decoder(rng):
     np.testing.assert_allclose(
         out[0], slow.astype(jnp.bfloat16).astype(np.float32), atol=1e-2
     )
+
+
+def test_scattered_features_cn_match_sample_features(rng):
+    """Channels-first gather interpolation (the scattered fast path's
+    feature stage) must equal the decoder's sample_features (interp_grid +
+    interp_plane on normalized coords) for grid + all three planes."""
+    from vtaco_tpu.ops.dense_decode import scattered_feature_volume_cn
+
+    C, R = 8, 6
+    dec = LocalDecoder(c_dim=C, hidden_size=16, n_blocks=2, padding=0.1)
+    c_planes = {
+        "grid": jnp.asarray(rng.standard_normal((1, R, R, R, C)), jnp.float32),
+        "xz": jnp.asarray(rng.standard_normal((1, R, R, C)), jnp.float32),
+        "xy": jnp.asarray(rng.standard_normal((1, R, R, C)), jnp.float32),
+        "yz": jnp.asarray(rng.standard_normal((1, R, R, C)), jnp.float32),
+    }
+    # include outliers beyond the box to exercise the border remap
+    pts = jnp.asarray(rng.uniform(-0.7, 0.7, (1, 37, 3)), jnp.float32)
+    ref = dec.apply({}, pts, c_planes, method=dec.sample_features)[0]
+    got = scattered_feature_volume_cn(c_planes, pts[0].T, 0.1).T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_eval_points_fast_buckets_and_gating(rng):
+    """eval_points_fast must match the legacy chunked path for arbitrary N
+    (bucketed padding) and for every gating mode."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    gen.points_batch_size = 64
+
+    assert Generator3D._scatter_bucket(1) == 2048
+    assert Generator3D._scatter_bucket(2048) == 2048
+    assert Generator3D._scatter_bucket(2049) == 4096
+    assert Generator3D._scatter_bucket(5000) == 6144       # 1.5 * 4096
+    assert Generator3D._scatter_bucket(2**21) == 2**21
+
+    pts = rng.uniform(-0.55, 0.55, (301, 3)).astype(np.float32)
+    legacy = gen.eval_points(state, pts, c_planes, fast=False,
+                             transfer_dtype=jnp.float32)
+    fast = gen.eval_points_fast(state, pts, c_planes,
+                                transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(fast, legacy, atol=1e-5)
+
+    # int8 transfer mode: scale-dequantized within one quantization step
+    q = gen.eval_points_fast(state, pts, c_planes, transfer_dtype=jnp.int8)
+    step = np.abs(legacy).max() / 127.0
+    np.testing.assert_allclose(q, legacy, atol=step * 1.01)
+
+    gate_pts = jnp.asarray(rng.uniform(-0.3, 0.3, (5, 8, 3)), jnp.float32)
+    gate_feat = jnp.asarray(rng.standard_normal((5, 8)), jnp.float32)
+    gate_valid = jnp.asarray(rng.random((5, 8)) > 0.3)
+    for gating, gp in (("contact", gate_pts), ("tips", gate_pts[:, 0])):
+        legacy = gen.eval_points(state, pts, c_planes, gating, gp,
+                                 gate_feat,
+                                 gate_valid if gating == "contact"
+                                 else gate_valid[:, 0],
+                                 transfer_dtype=jnp.float32, fast=False)
+        fast = gen.eval_points_fast(state, pts, c_planes, gating, gp,
+                                    gate_feat,
+                                    gate_valid if gating == "contact"
+                                    else gate_valid[:, 0],
+                                    transfer_dtype=jnp.float32)
+        np.testing.assert_allclose(fast, legacy, atol=1e-5,
+                                   err_msg=f"gating={gating}")

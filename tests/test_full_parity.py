@@ -10,9 +10,16 @@ fp32 tolerance — the north-star parity clause as a passing test.
 The architecture is the VTacO_YCB flagship at reduced spatial sizes
 (grid 64³→32³, tactile images 320×240→32×24 — channel widths, depths and
 every module family unchanged) so the CPU oracle runs in seconds.
+
+``VTACO_FULL_PARITY=1`` runs the same assertions at the flagship's full
+operating point — feature grid 64³ (configs/VTacO/VTacO_YCB.yaml:22-42)
+and 320×240 tactile images (src/conv_onet/training.py:18-19) — as a
+one-shot evidence run (CPU minutes; measured deltas recorded in
+docs/DESIGN.md § Numerics).
 """
 
 import copy
+import os
 
 import numpy as np
 import pytest
@@ -25,16 +32,21 @@ import jax.numpy as jnp
 from vtaco_tpu.core import torch_import as TI
 from vtaco_tpu.core.config import get_model, load_config
 
+FULL = os.environ.get("VTACO_FULL_PARITY") == "1"
+
 
 def _parity_cfg():
     cfg = load_config("configs/VTacO/VTacO_YCB.yaml", "configs/default.yaml")
     m = cfg["model"]
-    m["encoder_kwargs"]["grid_resolution"] = 32
+    if not FULL:
+        m["encoder_kwargs"]["grid_resolution"] = 32
     m["encoder_t2d_kwargs"]["pretrained"] = False
     return cfg
 
 
-H, W = 32, 24  # tactile image size (must divide the t2d U-Net's poolings)
+# tactile image size (must divide the t2d U-Net's poolings); full mode
+# uses the reference's 320×240 capture resolution
+H, W = (320, 240) if FULL else (32, 24)
 
 
 def _assert_close_bulk(a, b, mean, q999, amax):
@@ -43,6 +55,10 @@ def _assert_close_bulk(a, b, mean, q999, amax):
     selection is process-state dependent) — bound the bulk tightly and the
     tail loosely instead of one flaky atol."""
     diff = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+    if FULL:  # one-shot evidence run: record the measured deltas
+        print(f"[full-parity] mean={diff.mean():.3e} "
+              f"q999={np.quantile(diff, 0.999):.3e} max={diff.max():.3e} "
+              f"(bounds {mean:g}/{q999:g}/{amax:g})", flush=True)
     assert float(diff.mean()) < mean, diff.mean()
     assert float(np.quantile(diff, 0.999)) < q999, np.quantile(diff, 0.999)
     assert float(diff.max()) < amax, diff.max()
@@ -214,7 +230,7 @@ def test_mesh_extraction_chamfer(pair, rng):
 
     ref, model, variables, _ = pair
     pts, _ = _inputs(rng)
-    nx = 32
+    nx = 64 if FULL else 32
     box = 1.1
 
     ours_c = model.apply(variables, jnp.asarray(pts), train=False,
@@ -253,4 +269,7 @@ def test_mesh_extraction_chamfer(pair, rng):
     cd = float(np.asarray(metrics.chamfer_distance(
         jnp.asarray(v_ref[None]), jnp.asarray(v_ours[None])
     ))[0])
+    if FULL:
+        print(f"[full-parity] chamfer={cd:.3e} "
+              f"verts ours={len(v_ours)} ref={len(v_ref)}", flush=True)
     assert cd < 1e-4, cd

@@ -93,6 +93,13 @@ def test_batched_points_decode(rng):
         one = gen.eval_points(state, pts[b], {"grid": cB["grid"][b : b + 1]})
         np.testing.assert_allclose(out[b], one, atol=1e-2)
 
+    # fast (vmapped scattered trunk) == legacy (chunked module decode)
+    legacy = gen.decode_points_batched(state, pts, cB, fast=False,
+                                       transfer_dtype=jnp.float32)
+    fast = gen.decode_points_batched(state, pts, cB,
+                                     transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(fast, legacy, atol=1e-5)
+
     mesh = make_mesh(data=4)
     out_dp = gen.decode_points_batched(state, pts, cB, device_mesh=mesh)
     np.testing.assert_allclose(out_dp, out, atol=1e-2)

@@ -131,7 +131,12 @@ class Generator3D:
         self._decode_dense_fast = jax.jit(
             self._decode_dense_fast_impl,
             static_argnames=("nx", "gating", "dtype", "use_pallas", "leaky",
-                             "pallas_tile"),
+                             "pallas_tile", "out_dtype", "out_xmajor"),
+        )
+        self._decode_scatter_fast = jax.jit(
+            self._decode_scatter_fast_impl,
+            static_argnames=("gating", "dtype", "use_pallas", "leaky",
+                             "pallas_tile", "out_dtype"),
         )
 
     @classmethod
@@ -329,15 +334,35 @@ class Generator3D:
         logits = jax.lax.map(one_slab, (feats, pts_s))
         return logits.reshape(-1)
 
+    @staticmethod
+    def _finalize_logits(logits, out_dtype):
+        """In-program output conversion. Every eager post-jit op on the
+        result costs a separate dispatch (~30 ms fixed through this
+        harness's device tunnel), so the transfer cast lives INSIDE the
+        decode program. ``out_dtype``: None (f32), a jnp dtype, or 'int8'
+        → (int8 quantized logits, f32 scale) with scale = max|logit|/127
+        (quarter the transfer payload; ample for iso-crossing
+        interpolation — see docs/DESIGN.md § transfer budget)."""
+        if out_dtype is None:
+            return logits
+        if out_dtype == "int8":
+            scale = jnp.maximum(jnp.max(jnp.abs(logits)), 1e-6) / 127.0
+            q = jnp.round(logits / scale).astype(jnp.int8)
+            return q, scale.astype(jnp.float32)
+        return logits.astype(out_dtype)
+
     def _decode_dense_fast_impl(self, trunk_params, c, gate_pts, gate_feat,
                                 gate_valid, nx, gating, dtype,
                                 use_pallas=False, leaky=False,
-                                pallas_tile=None):
+                                pallas_tile=None, out_dtype=None,
+                                out_xmajor=False):
         """Channels-first whole-grid decode (ops.fast_trunk): feature
         upsampling, gating and the MLP all keep points on the lane
-        dimension. Returns logits flattened z-slowest (caller transposes
-        the value grid)."""
-        from vtaco_tpu.ops import fast_trunk as FT
+        dimension. Returns logits flattened z-slowest by default;
+        ``out_xmajor=True`` transposes to the reference's x-slowest
+        flattening ON DEVICE (a host-side 8 MB strided transpose costs
+        tens of ms on this harness's single core), and ``out_dtype``
+        applies the transfer cast in-program (see _finalize_logits)."""
         from vtaco_tpu.ops.dense_decode import (
             dense_feature_volume_cn,
             dense_query_grid_cn,
@@ -346,6 +371,38 @@ class Generator3D:
         box_size = 1 + self.padding
         feats = dense_feature_volume_cn(c, nx, box_size, self.padding, dtype)
         p_cn = jnp.asarray(dense_query_grid_cn(nx, box_size))
+        logits = self._trunk_fast(trunk_params, p_cn, feats, gate_pts,
+                                  gate_feat, gate_valid, gating, dtype,
+                                  use_pallas, leaky, pallas_tile)
+        if out_xmajor:
+            logits = logits.reshape(nx, nx, nx).transpose(2, 1, 0).reshape(-1)
+        return self._finalize_logits(logits, out_dtype)
+
+    def _decode_scatter_fast_impl(self, trunk_params, p_cn, c, gate_pts,
+                                  gate_feat, gate_valid, gating, dtype,
+                                  use_pallas=False, leaky=False,
+                                  pallas_tile=None, out_dtype=None):
+        """Channels-first decode at arbitrary (3, N) query coords: 8-corner
+        gather interpolation (ops.dense_decode.scattered_feature_volume_cn)
+        feeding the same fused trunk as the dense path — the reference's
+        public decode API (generation.py:338-383) at dense-path speed
+        instead of the chunked (N, C)-layout legacy loop."""
+        from vtaco_tpu.ops.dense_decode import scattered_feature_volume_cn
+
+        feats = scattered_feature_volume_cn(c, p_cn, self.padding, dtype)
+        logits = self._trunk_fast(trunk_params, p_cn, feats, gate_pts,
+                                  gate_feat, gate_valid, gating, dtype,
+                                  use_pallas, leaky, pallas_tile)
+        return self._finalize_logits(logits, out_dtype)
+
+    def _trunk_fast(self, trunk_params, p_cn, feats, gate_pts, gate_feat,
+                    gate_valid, gating, dtype, use_pallas, leaky,
+                    pallas_tile):
+        """Shared trunk dispatch for the channels-first decode paths:
+        (3, N) coords + (C, N) features → (N,) logits via the Pallas fused
+        trunk (TPU default, gating fused in) or the XLA trunk."""
+        from vtaco_tpu.ops import fast_trunk as FT
+
         # the Pallas kernel hardcodes ReLU; leaky decoders use the XLA trunk
         if use_pallas and not leaky:
             from vtaco_tpu.ops.pallas.decode import (
@@ -405,18 +462,23 @@ class Generator3D:
             gate_feat = jnp.zeros((1, 1))
             gate_valid = jnp.zeros((1,), bool)
         if fast:
-            logits = self._decode_dense_fast(
-                *self._dense_fast_args(state, nx, c, gating, gate_pts,
-                                       gate_feat, gate_valid, dtype,
-                                       use_pallas)
-            )
+            args_t = self._dense_fast_args(state, nx, c, gating, gate_pts,
+                                           gate_feat, gate_valid, dtype,
+                                           use_pallas)
             if return_device:
-                return logits
-            host = np.asarray(logits.astype(transfer_dtype)).astype(np.float32)
-            # fast path flattens z-slowest; transpose back to x-slowest
-            return np.ascontiguousarray(
-                host.reshape(nx, nx, nx).transpose(2, 1, 0)
-            ).reshape(-1)
+                return self._decode_dense_fast(*args_t)
+            # transfer cast AND x-major transpose happen in-program: each
+            # eager post-jit op is a separate ~30 ms dispatch through the
+            # device tunnel, and the host-side 8 MB strided transpose cost
+            # tens of ms on one core (docs/DESIGN.md § transfer budget)
+            td = jnp.dtype(transfer_dtype)
+            td = "int8" if td == jnp.dtype(jnp.int8) else td  # scaled mode
+            out = self._decode_dense_fast(*args_t, out_dtype=td,
+                                          out_xmajor=True)
+            if td == "int8":
+                q, scale = out
+                return np.asarray(q).astype(np.float32) * float(scale)
+            return np.asarray(out).astype(np.float32)
         logits = self._decode_dense(
             self._vars(state), c, gate_pts, gate_feat, gate_valid, nx, gating
         )
@@ -456,26 +518,90 @@ class Generator3D:
                                    gate_valid, dtype, use_pallas)
         )
 
-    def eval_points(self, state, pointsf, c, gating="none", gate_pts=None,
-                    gate_feat=None, gate_valid=None,
-                    transfer_dtype=jnp.bfloat16):
-        """Chunked occupancy decode over (N, 3) host points → (N,) logits.
+    @staticmethod
+    def _scatter_bucket(n: int, align: int = 2048) -> int:
+        """Pad count for the scattered fast decode: the next {1, 1.5}·2^k
+        multiple of ``align`` ≥ n. Each distinct padded size is a separate
+        trace/compile (static shapes), so arbitrary N snaps to a geometric
+        bucket grid — ≤33% padded compute, O(log N) programs ever built."""
+        n = max(int(n), align)
+        p = 1 << (n - 1).bit_length()                  # next pow2 ≥ n
+        cand = p if p // 4 * 3 < n else p // 4 * 3     # 1.5·2^(k-2) step
+        return max(align, -(-cand // align) * align)
 
-        The reference's hot loop (generation.py:338-383) with the
-        per-point feature gating fused in. Multi-chunk inputs run as ONE
-        dispatch (lax.map over the chunk stack) and transfer the logits
-        as ``transfer_dtype`` (bf16 by default — ample for occupancy
-        values and half the device→host payload; pass jnp.float32 for
-        exact logits).
-        """
-        variables = self._vars(state)
-        n = pointsf.shape[0]
-        bs = self.points_batch_size
+    def eval_points_fast(self, state, pointsf, c, gating="none",
+                         gate_pts=None, gate_feat=None, gate_valid=None,
+                         transfer_dtype=jnp.bfloat16, dtype=jnp.float32,
+                         use_pallas=None):
+        """Scattered decode over (N, 3) host points through the
+        channels-first fast trunk (Pallas on TPU): ONE dispatch — gather
+        interpolation + (fused) gating + MLP — and one ``transfer_dtype``
+        result transfer. Points are zero-padded to a size bucket
+        (:meth:`_scatter_bucket`); padded logits are sliced off."""
+        if use_pallas is None:
+            use_pallas = self._pallas_enabled()
         if gate_pts is None:
             gate_pts = jnp.zeros((1, 3))
             gate_feat = jnp.zeros((1, 1))
             gate_valid = jnp.zeros((1,), bool)
+        from vtaco_tpu.ops import fast_trunk as FT
+
+        decoder = self.model.decoder
+        tp = FT.extract_trunk_params(
+            state.params["decoder"], decoder.n_blocks,
+            with_img=gating != "none",
+        )
+        n = pointsf.shape[0]
+        npad = self._scatter_bucket(n)
+        pts = np.zeros((3, npad), np.float32)
+        pts[:, :n] = np.asarray(pointsf, np.float32).T
+        td = jnp.dtype(transfer_dtype)
+        td = "int8" if td == jnp.dtype(jnp.int8) else td  # scaled mode
+        out = self._decode_scatter_fast(
+            tp, jnp.asarray(pts), c, gate_pts, gate_feat, gate_valid,
+            gating=gating, dtype=dtype, use_pallas=use_pallas,
+            leaky=getattr(decoder, "leaky", False),
+            out_dtype=td,
+        )
+        if td == "int8":
+            q, scale = out
+            # transfer the padded tail too — a device-side slice would be
+            # one more dispatch, costlier than the extra bytes here
+            return np.asarray(q).astype(np.float32)[:n] * float(scale)
+        return np.asarray(out).astype(np.float32)[:n]
+
+    def eval_points(self, state, pointsf, c, gating="none", gate_pts=None,
+                    gate_feat=None, gate_valid=None,
+                    transfer_dtype=jnp.bfloat16, fast=None):
+        """Chunked occupancy decode over (N, 3) host points → (N,) logits.
+
+        The reference's hot loop (generation.py:338-383) with the
+        per-point feature gating fused in. By default (``fast=None``)
+        non-crop inputs route through :meth:`eval_points_fast` — the
+        channels-first gather-interp + fused-trunk path, one dispatch and
+        one bf16 transfer (measured 4.9×→~2× of the dense decode's
+        latency at 2.1M points vs the legacy chunked loop below).
+        ``fast=False`` forces the legacy (N, C)-layout chunked path
+        (lax.map over chunk stacks — still one dispatch, but gather
+        interp + gating materialize full-width intermediates). Crop-mode
+        inputs always use the legacy path (per-crop coordinate
+        normalization).
+        """
+        variables = self._vars(state)
+        n = pointsf.shape[0]
+        bs = self.points_batch_size
         crop_mode = self.input_type == "pointcloud_crop"
+        if fast is None:
+            fast = not crop_mode
+        if fast and not crop_mode:
+            return self.eval_points_fast(
+                state, pointsf, c, gating, gate_pts, gate_feat, gate_valid,
+                transfer_dtype=transfer_dtype,
+            )
+        if gate_pts is None:
+            gate_pts = jnp.zeros((1, 3))
+            gate_feat = jnp.zeros((1, 1))
+            gate_valid = jnp.zeros((1,), bool)
         if not crop_mode and n > bs:
             # single-dispatch path: stack padded chunks, lax.map on device.
             # Each distinct chunk count k is a separate trace/compile; for
@@ -711,20 +837,75 @@ class Generator3D:
 
     # ------------------------------------------------------------------
     def decode_points_batched(self, state, pts_b, c_batched, device_mesh=None,
-                              transfer_dtype=jnp.bfloat16):
+                              transfer_dtype=jnp.bfloat16, fast=None,
+                              use_pallas=None):
         """Batched scattered decode: (B, M, 3) host points against (B, ...)
-        feature fields → (B, M) logits, all in ONE dispatch (lax.map over
-        padded point chunks of a vmap over the object axis).
+        feature fields → (B, M) logits, all in ONE dispatch.
 
         The per-object companion to :meth:`decode_dense_batched` — it powers
         batched MISE refinement (mise.multires_decode_batched), where each
         object needs a different, irregular set of boundary queries per
         level. With ``device_mesh`` the object axis shards over the mesh's
         'data' chips (DP serving).
+
+        By default the query axis runs through the channels-first scattered
+        fast path (gather interp + fused trunk, vmapped over the object
+        axis; Pallas on TPU with the vmap-safe tile pinned at 4096, as in
+        :meth:`decode_dense_batched`). ``fast=False`` keeps the legacy
+        (N, C)-layout chunked decode (lax.map of a vmap of the module
+        decoder) for comparison/crops.
         """
-        variables = self._vars(state)
         pts_b = np.asarray(pts_b, np.float32)
         B, M = pts_b.shape[:2]
+        if fast is None:
+            fast = self.input_type != "pointcloud_crop"
+        if fast:
+            from vtaco_tpu.ops import fast_trunk as FT
+
+            leaky = getattr(self.model.decoder, "leaky", False)
+            if use_pallas is None:
+                use_pallas = self._pallas_enabled()
+            use_pallas = bool(use_pallas) and not leaky
+            tp = FT.extract_trunk_params(
+                state.params["decoder"], self.model.decoder.n_blocks,
+                with_img=False,
+            )
+            mpad = self._scatter_bucket(M)
+            pts_cn = np.zeros((B, 3, mpad), np.float32)
+            pts_cn[:, :, :M] = pts_b.transpose(0, 2, 1)
+            cache = getattr(self, "_decode_pts_batched_fast", None)
+            if cache is None:
+                cache = self._decode_pts_batched_fast = {}
+            key = (use_pallas, jnp.dtype(transfer_dtype).name)
+            if key not in cache:
+                def one(tp, p_cn, c_s):
+                    return self._decode_scatter_fast_impl(
+                        tp, p_cn, c_s, jnp.zeros((1, 3)), jnp.zeros((1, 1)),
+                        jnp.zeros((1,), bool), gating="none",
+                        dtype=jnp.float32, use_pallas=use_pallas, leaky=leaky,
+                        # under vmap, Mosaic compiles crash below tile 4096
+                        # (ops/pallas/decode.py docstring) — pin it
+                        pallas_tile=4096 if use_pallas else None,
+                    )
+
+                cache[key] = jax.jit(
+                    lambda tp, pB, cB: jax.vmap(one, in_axes=(None, 0, 0))(
+                        tp, pB, cB
+                    ).astype(transfer_dtype)
+                )
+            pts_dev = jnp.asarray(pts_cn)
+            if device_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from vtaco_tpu.parallel.mesh import shard_batch
+
+                c_batched = shard_batch(device_mesh, c_batched)
+                pts_dev = jax.device_put(
+                    pts_dev, NamedSharding(device_mesh, P("data"))
+                )
+            out = cache[key](tp, pts_dev, c_batched)
+            return np.asarray(out).astype(np.float32)[:, :M]
+        variables = self._vars(state)
         bs = self.points_batch_size
         k = max(1, -(-M // bs))
         pts_pad = np.zeros((B, k * bs, 3), np.float32)

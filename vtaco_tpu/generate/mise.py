@@ -216,10 +216,10 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
     ``threshold=None`` derives the iso level from the coarse field's mean
     (the generator's ``mc_level: 'mean'`` semantics) — use it when the
     caller has no calibrated level, e.g. with untrained weights whose
-    logit range is unknown.
+    logit range is unknown. ``chunk`` is kept for API compatibility; the
+    refinement now runs through Generator3D.eval_points (size-bucketed
+    single dispatch per level).
     """
-    import jax.numpy as jnp
-
     box_size = 1 + generator.padding
 
     def grid_to_coords(pts_int, reso):
@@ -243,20 +243,12 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
         if len(pts) == 0:
             continue
         coords = grid_to_coords(pts.astype(np.float32), mg.resolution)
-        vals = np.empty(len(pts), np.float32)
-        for i in range(0, len(pts), chunk):
-            sl = coords[i : i + chunk]
-            pad = chunk - len(sl)
-            if pad:
-                sl = np.pad(sl, ((0, pad), (0, 0)))
-            out = generator._decode_chunk(
-                generator._vars(state), jnp.asarray(sl), c,
-                gate_pts if gate_pts is not None else jnp.zeros((1, 3)),
-                gate_feat if gate_feat is not None else jnp.zeros((1, 1)),
-                gate_valid if gate_valid is not None else jnp.zeros((1,), bool),
-                gating,
-            )
-            vals[i : i + chunk] = np.asarray(out)[: chunk - pad or None]
+        # one dispatch per level through the scattered fast path (gather
+        # interp + fused trunk, size-bucketed padding); the legacy
+        # per-chunk loop costs a round trip per `chunk` points
+        vals = generator.eval_points(
+            state, coords, c, gating, gate_pts, gate_feat, gate_valid
+        ).astype(np.float32)
         mg.update(pts, vals)
 
     return mg.values, threshold

@@ -143,6 +143,101 @@ def dense_query_grid_cn(nx: int, box_size: float):
     return jnp.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], axis=0)
 
 
+def scattered_grid_features_cn(g, p_cn, padding: float, dtype=jnp.float32):
+    """(Z, Y, X, C) grid + (3, N) raw world coords → (C, N) trilinear
+    features, channels-first.
+
+    The scattered counterpart of the separable dense path: arbitrary
+    points can't factorize into per-axis matmuls, so this is the classic
+    8-corner gather — but laid out channels-first so the (C, N) gather
+    outputs keep points on the 128-wide lane dimension (the (N, C=32)
+    layout wastes 4× of every vector store). Semantics are exactly
+    ``interp_grid(grid, normalize_3d_coordinate(p))`` (ops/interp.py /
+    src/conv_onet/models/decoder.py:55-68): align-corners, border clamp,
+    outlier-only coordinate remap with the 3D epsilon."""
+    D, H, W, C = g.shape
+    u = p_cn / (1 + padding + 10e-4) + 0.5
+    u = jnp.where(u >= 1.0, 1 - 10e-4, jnp.maximum(u, 0.0))
+    x = jnp.clip(u[0] * (W - 1), 0.0, W - 1)
+    y = jnp.clip(u[1] * (H - 1), 0.0, H - 1)
+    z = jnp.clip(u[2] * (D - 1), 0.0, D - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    z1 = jnp.minimum(z0 + 1, D - 1)
+    wx = (x - x0)[None].astype(dtype)
+    wy = (y - y0)[None].astype(dtype)
+    wz = (z - z0)[None].astype(dtype)
+    flat = g.reshape(-1, C).T.astype(dtype)            # (C, D·H·W)
+
+    def at(zz, yy, xx):
+        return jnp.take(flat, (zz * H + yy) * W + xx, axis=1)
+
+    c00 = at(z0, y0, x0) * (1 - wx) + at(z0, y0, x1) * wx
+    c01 = at(z0, y1, x0) * (1 - wx) + at(z0, y1, x1) * wx
+    c10 = at(z1, y0, x0) * (1 - wx) + at(z1, y0, x1) * wx
+    c11 = at(z1, y1, x0) * (1 - wx) + at(z1, y1, x1) * wx
+    c0 = c00 * (1 - wy) + c01 * wy
+    c1 = c10 * (1 - wy) + c11 * wy
+    return c0 * (1 - wz) + c1 * wz
+
+
+def scattered_plane_features_cn(pl, plane: str, p_cn, padding: float,
+                                dtype=jnp.float32):
+    """(H, W, C) plane + (3, N) raw coords → (C, N) bilinear features,
+    channels-first — ``interp_plane(plane, normalize_coordinate(p))``
+    semantics (2D epsilon; cols index the plane's first axis, rows the
+    second, matching ops/interp.py)."""
+    from vtaco_tpu.ops.geometry import PLANE_AXES
+
+    H, W, C = pl.shape
+    a_ax, b_ax = PLANE_AXES[plane]
+    ua = p_cn[a_ax] / (1 + padding + 10e-6) + 0.5
+    ub = p_cn[b_ax] / (1 + padding + 10e-6) + 0.5
+    ua = jnp.where(ua >= 1.0, 1 - 10e-6, jnp.maximum(ua, 0.0))
+    ub = jnp.where(ub >= 1.0, 1 - 10e-6, jnp.maximum(ub, 0.0))
+    x = jnp.clip(ua * (W - 1), 0.0, W - 1)
+    y = jnp.clip(ub * (H - 1), 0.0, H - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = (x - x0)[None].astype(dtype)
+    wy = (y - y0)[None].astype(dtype)
+    flat = pl.reshape(-1, C).T.astype(dtype)           # (C, H·W)
+
+    def at(yy, xx):
+        return jnp.take(flat, yy * W + xx, axis=1)
+
+    c0 = at(y0, x0) * (1 - wx) + at(y0, x1) * wx
+    c1 = at(y1, x0) * (1 - wx) + at(y1, x1) * wx
+    return c0 * (1 - wy) + c1 * wy
+
+
+def scattered_feature_volume_cn(c_planes: dict, p_cn, padding: float,
+                                dtype=jnp.float32):
+    """Sum of grid/plane features at arbitrary (3, N) query coords,
+    channels-first — the scattered counterpart of
+    :func:`dense_feature_volume_cn` (same decoder ``sample_features``
+    semantics, decoder.py:136-147)."""
+    acc = 0
+    if "grid" in c_planes:
+        g = c_planes["grid"]
+        if g.ndim == 5:
+            g = g[0]
+        acc = acc + scattered_grid_features_cn(g, p_cn, padding, dtype)
+    for key in ("xz", "xy", "yz"):
+        if key in c_planes:
+            p = c_planes[key]
+            if p.ndim == 4:
+                p = p[0]
+            acc = acc + scattered_plane_features_cn(p, key, p_cn, padding,
+                                                    dtype)
+    return acc
+
+
 def dense_query_grid(nx: int, box_size: float):
     """(nx³, 3) dense query coordinates (x slowest, z fastest)."""
     coords = box_size * (-0.5 + np.arange(nx, dtype=np.float32) / (nx - 1))
