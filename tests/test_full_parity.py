@@ -133,10 +133,12 @@ def test_encoder_grid_features(pair, rng):
     # The grid passes through a 9-conv-deep UNet3D; fp32 accumulation
     # differs by ~5e-4 typical at the output (pre-UNet features agree to
     # ~1e-7) with an order-dependent tail.
+    # measured full-size (grid 64³, VTACO_FULL_PARITY=1): mean 1.4e-4,
+    # q999 8.2e-4, max 1.7e-3 — docs/DESIGN.md § Numerics
     _assert_close_bulk(
         np.asarray(ours["grid"]),
         theirs["grid"].numpy().transpose(0, 2, 3, 4, 1),
-        mean=2e-4, q999=1.5e-3, amax=1e-2,
+        mean=2e-4, q999=1.5e-3, amax=5e-3,
     )
 
 
@@ -206,8 +208,9 @@ def test_decode_logits(pair, rng):
         theirs = ref.decode(torch.from_numpy(p), theirs_c).logits
     # the logits inherit the encoder grid's conv-algorithm drift through
     # the trilinear sampling + 5-block trunk
+    # measured full-size: mean 8.2e-5, q999/max 2.6e-4 (docs/DESIGN.md)
     _assert_close_bulk(np.asarray(ours), theirs.numpy(),
-                       mean=2e-4, q999=2e-3, amax=1e-2)
+                       mean=2e-4, q999=2e-3, amax=5e-3)
 
     ours_i = model.apply(variables, jnp.asarray(p), ours_c,
                          jnp.asarray(c_img_all), method=model.decode_img)
@@ -216,7 +219,7 @@ def test_decode_logits(pair, rng):
             torch.from_numpy(p), theirs_c, torch.from_numpy(c_img_all)
         ).logits
     _assert_close_bulk(np.asarray(ours_i), theirs_i.numpy(),
-                       mean=2e-4, q999=2e-3, amax=1e-2)
+                       mean=2e-4, q999=2e-3, amax=5e-3)
 
 
 def test_mesh_extraction_chamfer(pair, rng):
@@ -258,7 +261,8 @@ def test_mesh_extraction_chamfer(pair, rng):
 
     # Decoder logits amplify the encoder's fp32 conv-algorithm noise
     # (~5e-4 post-UNet3D); the Chamfer below is the north-star assertion.
-    _assert_close_bulk(our_grid, ref_grid, mean=5e-4, q999=5e-3, amax=2e-2)
+    # measured full-size: mean 1.0e-4, q999 6.1e-4, max 1.2e-3
+    _assert_close_bulk(our_grid, ref_grid, mean=5e-4, q999=5e-3, amax=1e-2)
 
     v_ours, f_ours = marching_cubes(our_grid, gradient="ascent")
     v_ref, f_ref = marching_cubes(ref_grid, gradient="ascent")
