@@ -327,6 +327,42 @@ def main():
         gen.eval_points(state, pointsf, c_variants[r + 1], args.gating,
                         gate_pts, gate_feat, gate_valid)
         t_scatter = min(t_scatter, time.time() - t0)
+    # compact coord uploads: the scattered path is bound by the (3, N)
+    # f32 coordinate upload (24 MB at 2.1M pts; the dense path generates
+    # its coords in-program, which is exactly why it wins through the
+    # tunnel). uint16-quantized coords halve it (8.4e-6 world-unit error);
+    # int16 lattice coords are exact for grid-structured queries like
+    # this benchmark's (and MISE's). Both measured vs the same inputs.
+    scatter_detail = {}
+    try:
+        _mark("scattered decode (quantized/lattice coords)")
+        kwq = dict(gating=args.gating, gate_pts=gate_pts,
+                   gate_feat=gate_feat, gate_valid=gate_valid)
+        gen.eval_points_fast(state, pointsf, c_variants[0],
+                             coord_quant=True, **kwq)
+        tq = np.inf
+        for r in range(2):
+            t0 = time.time()
+            gen.eval_points_fast(state, pointsf, c_variants[r + 1],
+                                 coord_quant=True, **kwq)
+            tq = min(tq, time.time() - t0)
+        scatter_detail["decode_scattered_quant_s"] = round(tq, 4)
+        # this benchmark's query set IS the nx³ lattice: coords are
+        # box·(i/(nx−1) − 0.5), i.e. lattice_reso = nx−1 exactly
+        ii = np.arange(nx, dtype=np.int16)
+        pts_int = np.stack(np.meshgrid(ii, ii, ii, indexing="ij"),
+                           axis=-1).reshape(-1, 3)
+        gen.eval_points_fast(state, pts_int, c_variants[0],
+                             lattice_reso=nx - 1, **kwq)
+        tl = np.inf
+        for r in range(2):
+            t0 = time.time()
+            gen.eval_points_fast(state, pts_int, c_variants[r + 1],
+                                 lattice_reso=nx - 1, **kwq)
+            tl = min(tl, time.time() - t0)
+        scatter_detail["decode_scattered_lattice_s"] = round(tl, 4)
+    except Exception as e:
+        scatter_detail["decode_scattered_variants_error"] = repr(e)[:120]
     _mark("scattered decode (legacy chunk-stack)")
     gen.eval_points(state, pointsf, c_variants[0], args.gating, gate_pts,
                     gate_feat, gate_valid, fast=False)  # warmup/compile
@@ -488,6 +524,36 @@ def main():
                 )
         except Exception as e:
             amort_detail["decode_device_ref_pattern_error"] = repr(e)[:120]
+        # device-side scattered estimate: same K-slope over resident
+        # coords — isolates the corner-packed gather+trunk compute from
+        # the coordinate-upload wall that dominates the inclusive number
+        _mark("K-amortized scattered estimate")
+        try:
+            pts_cn_dev = jnp.asarray(pointsf_np.T)
+
+            @jax.jit
+            def repeat_scatter(tp, pts_cn, c_stack, gpts, gfeat, gvalid):
+                def one(ci):
+                    return gen._decode_scatter_fast_impl(
+                        tp, pts_cn, ci, gpts, gfeat, gvalid,
+                        gating=args.gating, dtype=jnp.float32,
+                        use_pallas=pallas_default, leaky=leaky_amort,
+                    ).mean()
+                return jax.lax.map(one, c_stack)
+
+            slope_sc = slope_of(
+                lambda st: np.asarray(
+                    repeat_scatter(tp_amort, pts_cn_dev, st, gate_pts,
+                                   gate_feat, gate_valid)
+                ),
+                2, 6,
+            )
+            if slope_sc > 0:
+                amort_detail["decode_scattered_device_s_est"] = round(
+                    slope_sc, 4
+                )
+        except Exception as e:
+            amort_detail["decode_scattered_device_error"] = repr(e)[:120]
     if args.pallas_compare:
         other = "xla" if pallas_default else "pallas"
         try:
@@ -566,16 +632,26 @@ def main():
                 for r in range(n_flights)
             ]
             jax.block_until_ready(flight_pts)
+            # host MC runs in a worker thread (C++ MC releases the GIL)
+            # while the main thread dispatches AND FETCHES the next
+            # flight. Fetch-inside-the-overlap was the round-2 regression:
+            # the tunnel serializes a device→host fetch behind the next
+            # in-flight decode, so overlapping "MC incl. fetch" made every
+            # flight wait decode+fetch+MC with no overlap at all.
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
             t0 = time.time()
-            prev = None
-            for r in range(n_flights):
-                cB = enc_b(variables, flight_pts[r])
-                vals = gen.decode_dense_batched(state, nx, cB, dtype=serve_dtype,
-                                                return_device=True)
-                if prev is not None:
-                    mc_all(prev)  # host MC overlaps the in-flight decode
-                prev = vals
-            mc_all(prev)
+            with _TPE(1) as _ex:
+                fut = None
+                for r in range(n_flights):
+                    cB = enc_b(variables, flight_pts[r])
+                    vals_host = gen.decode_dense_batched(
+                        state, nx, cB, dtype=serve_dtype
+                    )  # fetched here, before the next dispatch
+                    if fut is not None:
+                        fut.result()
+                    fut = _ex.submit(mc_all, vals_host)
+                fut.result()
             t_pipe = time.time() - t0
 
             batched_detail = {
@@ -908,6 +984,7 @@ def main():
             "decode_int8_s": round(t_decode_int8, 4),
             "decode_module_s": round(t_decode_module, 4),
             "decode_scattered_s": round(t_scatter, 4),
+            **scatter_detail,
             "decode_scattered_legacy_s": round(t_scatter_legacy, 4),
             "decode_first_s": round(t_decode_first, 2),
             # the reference's per-chunk-dispatch decode pattern

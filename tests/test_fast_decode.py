@@ -395,3 +395,66 @@ def test_eval_points_fast_buckets_and_gating(rng):
                                     transfer_dtype=jnp.float32)
         np.testing.assert_allclose(fast, legacy, atol=1e-5,
                                    err_msg=f"gating={gating}")
+
+
+def test_eval_points_fast_lattice_exact(rng):
+    """Integer-lattice upload mode (in-program box·(p/R − 0.5) coords) must
+    match the host computing the same f32 expression to float-roundoff
+    (XLA FMA-contracts the affine map; observed ≤3e-6 on logits) — the
+    MISE refinement contract (generate/mise.py multires_decode)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    reso = 32
+    box = 1 + gen.padding
+    pts_int = rng.integers(0, reso + 1, (513, 3))
+    coords = box * (pts_int.astype(np.float32) / reso - 0.5)
+    host = gen.eval_points_fast(state, coords, c_planes,
+                                transfer_dtype=jnp.float32)
+    lat = gen.eval_points_fast(state, pts_int, c_planes,
+                               transfer_dtype=jnp.float32,
+                               lattice_reso=reso)
+    np.testing.assert_allclose(lat, host, atol=1e-5)
+
+
+def test_eval_points_fast_coord_quant(rng):
+    """uint16-quantized coord upload: logits within the error implied by
+    an ≤8.4e-6 world-unit coordinate perturbation (finite-difference
+    bound via a deliberately-perturbed exact decode)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    pts = rng.uniform(-0.5, 0.5, (301, 3)).astype(np.float32)
+    exact = gen.eval_points_fast(state, pts, c_planes,
+                                 transfer_dtype=jnp.float32)
+    q = gen.eval_points_fast(state, pts, c_planes,
+                             transfer_dtype=jnp.float32, coord_quant=True)
+    # bound the sensitivity empirically: decode at +quantstep coords
+    step = (1 + gen.padding) / 65535.0
+    pert = gen.eval_points_fast(state, pts + step, c_planes,
+                                transfer_dtype=jnp.float32)
+    bound = np.abs(pert - exact).max() * 2 + 1e-6
+    assert np.abs(q - exact).max() <= bound
+
+
+def test_decode_points_batched_lattice(rng):
+    """Batched lattice mode == batched f32-coords mode (to f32 roundoff;
+    XLA FMA-contracts the in-program affine coord map)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    B, M, reso = 3, 65, 16
+    box = 1 + gen.padding
+    cB = {k: jnp.concatenate([v * (1 + 0.1 * b) for b in range(B)])
+          for k, v in c_planes.items()}
+    pts_int = rng.integers(0, reso + 1, (B, M, 3))
+    coords = box * (pts_int.astype(np.float32) / reso - 0.5)
+    f32 = gen.decode_points_batched(state, coords, cB,
+                                    transfer_dtype=jnp.float32)
+    lat = gen.decode_points_batched(state, pts_int, cB,
+                                    transfer_dtype=jnp.float32,
+                                    lattice_reso=reso)
+    np.testing.assert_allclose(lat, f32, atol=1e-5)

@@ -136,7 +136,8 @@ class Generator3D:
         self._decode_scatter_fast = jax.jit(
             self._decode_scatter_fast_impl,
             static_argnames=("gating", "dtype", "use_pallas", "leaky",
-                             "pallas_tile", "out_dtype"),
+                             "pallas_tile", "out_dtype", "lattice_reso",
+                             "coord_quant"),
         )
 
     @classmethod
@@ -381,14 +382,32 @@ class Generator3D:
     def _decode_scatter_fast_impl(self, trunk_params, p_cn, c, gate_pts,
                                   gate_feat, gate_valid, gating, dtype,
                                   use_pallas=False, leaky=False,
-                                  pallas_tile=None, out_dtype=None):
-        """Channels-first decode at arbitrary (3, N) query coords: 8-corner
-        gather interpolation (ops.dense_decode.scattered_feature_volume_cn)
-        feeding the same fused trunk as the dense path — the reference's
-        public decode API (generation.py:338-383) at dense-path speed
-        instead of the chunked (N, C)-layout legacy loop."""
+                                  pallas_tile=None, out_dtype=None,
+                                  lattice_reso=None, coord_quant=False):
+        """Channels-first decode at arbitrary (3, N) query coords:
+        corner-packed gather interpolation
+        (ops.dense_decode.scattered_feature_volume_cn) feeding the same
+        fused trunk as the dense path — the reference's public decode API
+        (generation.py:338-383) at dense-path speed instead of the
+        chunked (N, C)-layout legacy loop.
+
+        Coordinate upload dominates this path's latency through a slow
+        host↔device link (24 MB f32 at 2.1M points), so two compact
+        input encodings convert to world coords IN-PROGRAM:
+        ``lattice_reso=R``: p_cn is an int (3, N) lattice-point array and
+        world coords are ``box·(p/R − 0.5)`` — matches the host computing
+        the same f32 expression to float-roundoff (XLA FMA-contracts the
+        affine map; ≤3e-6 observed on logits). MISE refinement queries
+        are lattice points; 6 B/pt instead of 12. ``coord_quant``: p_cn is
+        uint16-quantized normalized coords, error ≤ box/2¹⁶/2 ≈ 8.4e-6
+        world units (lossy; opt-in for serving)."""
         from vtaco_tpu.ops.dense_decode import scattered_feature_volume_cn
 
+        box = 1 + self.padding
+        if lattice_reso is not None:
+            p_cn = box * (p_cn.astype(jnp.float32) / lattice_reso - 0.5)
+        elif coord_quant:
+            p_cn = box * (p_cn.astype(jnp.float32) / 65535.0 - 0.5)
         feats = scattered_feature_volume_cn(c, p_cn, self.padding, dtype)
         logits = self._trunk_fast(trunk_params, p_cn, feats, gate_pts,
                                   gate_feat, gate_valid, gating, dtype,
@@ -532,12 +551,19 @@ class Generator3D:
     def eval_points_fast(self, state, pointsf, c, gating="none",
                          gate_pts=None, gate_feat=None, gate_valid=None,
                          transfer_dtype=jnp.bfloat16, dtype=jnp.float32,
-                         use_pallas=None):
+                         use_pallas=None, lattice_reso=None,
+                         coord_quant=False):
         """Scattered decode over (N, 3) host points through the
         channels-first fast trunk (Pallas on TPU): ONE dispatch — gather
         interpolation + (fused) gating + MLP — and one ``transfer_dtype``
         result transfer. Points are zero-padded to a size bucket
-        (:meth:`_scatter_bucket`); padded logits are sliced off."""
+        (:meth:`_scatter_bucket`); padded logits are sliced off.
+
+        ``lattice_reso=R``: ``pointsf`` is an integer (N, 3) lattice-point
+        array (world coords ``box·(p/R − 0.5)`` computed in-program —
+        exact to f32 roundoff, half the upload). ``coord_quant=True``: quantize
+        world coords to uint16 on the host (error ≤ 8.4e-6 world units,
+        half the upload; for tunnel-bound serving)."""
         if use_pallas is None:
             use_pallas = self._pallas_enabled()
         if gate_pts is None:
@@ -553,15 +579,25 @@ class Generator3D:
         )
         n = pointsf.shape[0]
         npad = self._scatter_bucket(n)
-        pts = np.zeros((3, npad), np.float32)
-        pts[:, :n] = np.asarray(pointsf, np.float32).T
+        if lattice_reso is not None:
+            pts = np.zeros((3, npad), np.int16)
+            pts[:, :n] = np.asarray(pointsf, np.int16).T
+        elif coord_quant:
+            box = 1 + self.padding
+            u = np.asarray(pointsf, np.float32).T / box + 0.5
+            pts = np.zeros((3, npad), np.uint16)
+            pts[:, :n] = np.round(np.clip(u, 0.0, 1.0) * 65535.0)
+        else:
+            pts = np.zeros((3, npad), np.float32)
+            pts[:, :n] = np.asarray(pointsf, np.float32).T
         td = jnp.dtype(transfer_dtype)
         td = "int8" if td == jnp.dtype(jnp.int8) else td  # scaled mode
         out = self._decode_scatter_fast(
             tp, jnp.asarray(pts), c, gate_pts, gate_feat, gate_valid,
             gating=gating, dtype=dtype, use_pallas=use_pallas,
             leaky=getattr(decoder, "leaky", False),
-            out_dtype=td,
+            out_dtype=td, lattice_reso=lattice_reso,
+            coord_quant=coord_quant,
         )
         if td == "int8":
             q, scale = out
@@ -838,7 +874,7 @@ class Generator3D:
     # ------------------------------------------------------------------
     def decode_points_batched(self, state, pts_b, c_batched, device_mesh=None,
                               transfer_dtype=jnp.bfloat16, fast=None,
-                              use_pallas=None):
+                              use_pallas=None, lattice_reso=None):
         """Batched scattered decode: (B, M, 3) host points against (B, ...)
         feature fields → (B, M) logits, all in ONE dispatch.
 
@@ -855,10 +891,12 @@ class Generator3D:
         (N, C)-layout chunked decode (lax.map of a vmap of the module
         decoder) for comparison/crops.
         """
-        pts_b = np.asarray(pts_b, np.float32)
+        pts_b = np.asarray(pts_b, np.int16 if lattice_reso else np.float32)
         B, M = pts_b.shape[:2]
         if fast is None:
             fast = self.input_type != "pointcloud_crop"
+        if lattice_reso is not None and not fast:
+            raise ValueError("lattice_reso requires the fast path")
         if fast:
             from vtaco_tpu.ops import fast_trunk as FT
 
@@ -871,12 +909,13 @@ class Generator3D:
                 with_img=False,
             )
             mpad = self._scatter_bucket(M)
-            pts_cn = np.zeros((B, 3, mpad), np.float32)
+            pts_cn = np.zeros((B, 3, mpad),
+                              np.int16 if lattice_reso else np.float32)
             pts_cn[:, :, :M] = pts_b.transpose(0, 2, 1)
             cache = getattr(self, "_decode_pts_batched_fast", None)
             if cache is None:
                 cache = self._decode_pts_batched_fast = {}
-            key = (use_pallas, jnp.dtype(transfer_dtype).name)
+            key = (use_pallas, jnp.dtype(transfer_dtype).name, lattice_reso)
             if key not in cache:
                 def one(tp, p_cn, c_s):
                     return self._decode_scatter_fast_impl(
@@ -886,6 +925,7 @@ class Generator3D:
                         # under vmap, Mosaic compiles crash below tile 4096
                         # (ops/pallas/decode.py docstring) — pin it
                         pallas_tile=4096 if use_pallas else None,
+                        lattice_reso=lattice_reso,
                     )
 
                 cache[key] = jax.jit(

@@ -242,13 +242,22 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
         pts = mg.query()
         if len(pts) == 0:
             continue
-        coords = grid_to_coords(pts.astype(np.float32), mg.resolution)
         # one dispatch per level through the scattered fast path (gather
-        # interp + fused trunk, size-bucketed padding); the legacy
-        # per-chunk loop costs a round trip per `chunk` points
-        vals = generator.eval_points(
-            state, coords, c, gating, gate_pts, gate_feat, gate_valid
-        ).astype(np.float32)
+        # interp + fused trunk, size-bucketed padding); the points upload
+        # as int16 LATTICE coords (6 B/pt) and the world coords
+        # ``box·(p/reso − 0.5)`` are computed in-program — matches
+        # grid_to_coords to f32 roundoff, half the upload. The legacy
+        # per-chunk loop costs a round trip per `chunk` points.
+        if generator.input_type != "pointcloud_crop":
+            vals = generator.eval_points_fast(
+                state, pts, c, gating, gate_pts, gate_feat, gate_valid,
+                lattice_reso=mg.resolution,
+            ).astype(np.float32)
+        else:
+            coords = grid_to_coords(pts.astype(np.float32), mg.resolution)
+            vals = generator.eval_points(
+                state, coords, c, gating, gate_pts, gate_feat, gate_valid
+            ).astype(np.float32)
         mg.update(pts, vals)
 
     return mg.values, threshold
@@ -301,15 +310,27 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
         M = max(len(p) for p in ptss)
         if M == 0:
             continue
-        coords = np.zeros((B, M, 3), np.float32)
-        for b, p in enumerate(ptss):
-            if len(p):
-                coords[b, : len(p)] = box_size * (
-                    p.astype(np.float32) / mgs[b].resolution - 0.5
-                )
-        vals = generator.decode_points_batched(
-            state, coords, c_batched, device_mesh=device_mesh
-        )
+        if generator.input_type != "pointcloud_crop":
+            # int16 lattice upload (6 B/pt, exact-to-roundoff coords)
+            # — every object refines at the same lockstep resolution
+            coords = np.zeros((B, M, 3), np.int16)
+            for b, p in enumerate(ptss):
+                if len(p):
+                    coords[b, : len(p)] = p
+            vals = generator.decode_points_batched(
+                state, coords, c_batched, device_mesh=device_mesh,
+                lattice_reso=mgs[0].resolution,
+            )
+        else:
+            coords = np.zeros((B, M, 3), np.float32)
+            for b, p in enumerate(ptss):
+                if len(p):
+                    coords[b, : len(p)] = box_size * (
+                        p.astype(np.float32) / mgs[b].resolution - 0.5
+                    )
+            vals = generator.decode_points_batched(
+                state, coords, c_batched, device_mesh=device_mesh
+            )
         for b, p in enumerate(ptss):
             if len(p):
                 mgs[b].update(p, vals[b, : len(p)])

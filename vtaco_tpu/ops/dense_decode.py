@@ -148,37 +148,52 @@ def scattered_grid_features_cn(g, p_cn, padding: float, dtype=jnp.float32):
     features, channels-first.
 
     The scattered counterpart of the separable dense path: arbitrary
-    points can't factorize into per-axis matmuls, so this is the classic
-    8-corner gather — but laid out channels-first so the (C, N) gather
-    outputs keep points on the 128-wide lane dimension (the (N, C=32)
-    layout wastes 4× of every vector store). Semantics are exactly
-    ``interp_grid(grid, normalize_3d_coordinate(p))`` (ops/interp.py /
-    src/conv_onet/models/decoder.py:55-68): align-corners, border clamp,
-    outlier-only coordinate remap with the 3D epsilon."""
+    points can't factorize into per-axis matmuls, so this gathers the
+    2×2×2 corner block per point — as ONE wide row-take from a
+    corner-packed (D·H·W, 8C) volume built in-program with three
+    roll+concat steps. Measured on v5e: TPU gather cost is per-ROW, flat
+    in row width up to ≥1 KB, so one 8C-wide take runs 3× faster than
+    eight C-wide takes (69 ms vs 209 ms at N=2.1M, C=32; bit-exact). The
+    packed volume costs 8× the grid's HBM (268 MB at 64³×32 — transient,
+    bandwidth-bound to build). The corner base is clamped to dim-2 (the
+    fractional weight then reaches exactly 1.0) so the roll's wrapped
+    rows are never read. Combination stays channels-first so the (C, N)
+    slices keep points on the 128-wide lane dimension. Semantics are
+    exactly ``interp_grid(grid, normalize_3d_coordinate(p))``
+    (ops/interp.py / src/conv_onet/models/decoder.py:55-68):
+    align-corners, border clamp, outlier-only remap with the 3D epsilon.
+    """
     D, H, W, C = g.shape
     u = p_cn / (1 + padding + 10e-4) + 0.5
     u = jnp.where(u >= 1.0, 1 - 10e-4, jnp.maximum(u, 0.0))
     x = jnp.clip(u[0] * (W - 1), 0.0, W - 1)
     y = jnp.clip(u[1] * (H - 1), 0.0, H - 1)
     z = jnp.clip(u[2] * (D - 1), 0.0, D - 1)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    z0 = jnp.floor(z).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    z1 = jnp.minimum(z0 + 1, D - 1)
+    # base corner ≤ dim-2 so the +1 neighbor always exists; at the far
+    # border the weight becomes exactly 1.0 — identical trilinear value
+    x0 = jnp.minimum(jnp.floor(x), W - 2).astype(jnp.int32)
+    y0 = jnp.minimum(jnp.floor(y), H - 2).astype(jnp.int32)
+    z0 = jnp.minimum(jnp.floor(z), D - 2).astype(jnp.int32)
     wx = (x - x0)[None].astype(dtype)
     wy = (y - y0)[None].astype(dtype)
     wz = (z - z0)[None].astype(dtype)
-    flat = g.reshape(-1, C).T.astype(dtype)            # (C, D·H·W)
+    g = g.astype(dtype)
+    # corner-packed volume: row r = the 2×2×2 block at r, corner k's
+    # channels at [k·C, (k+1)·C) with k = dz·4 + dy·2 + dx
+    gx = jnp.concatenate([g, jnp.roll(g, -1, axis=2)], axis=-1)
+    gy = jnp.concatenate([gx, jnp.roll(gx, -1, axis=1)], axis=-1)
+    gz = jnp.concatenate([gy, jnp.roll(gy, -1, axis=0)], axis=-1)
+    rows = jnp.take(gz.reshape(-1, 8 * C),
+                    (z0 * H + y0) * W + x0, axis=0)     # (N, 8C)
+    blk = rows.T                                        # (8C, N)
 
-    def at(zz, yy, xx):
-        return jnp.take(flat, (zz * H + yy) * W + xx, axis=1)
+    def corner(k):
+        return blk[k * C:(k + 1) * C]
 
-    c00 = at(z0, y0, x0) * (1 - wx) + at(z0, y0, x1) * wx
-    c01 = at(z0, y1, x0) * (1 - wx) + at(z0, y1, x1) * wx
-    c10 = at(z1, y0, x0) * (1 - wx) + at(z1, y0, x1) * wx
-    c11 = at(z1, y1, x0) * (1 - wx) + at(z1, y1, x1) * wx
+    c00 = corner(0) * (1 - wx) + corner(1) * wx
+    c01 = corner(2) * (1 - wx) + corner(3) * wx
+    c10 = corner(4) * (1 - wx) + corner(5) * wx
+    c11 = corner(6) * (1 - wx) + corner(7) * wx
     c0 = c00 * (1 - wy) + c01 * wy
     c1 = c10 * (1 - wy) + c11 * wy
     return c0 * (1 - wz) + c1 * wz
@@ -200,19 +215,19 @@ def scattered_plane_features_cn(pl, plane: str, p_cn, padding: float,
     ub = jnp.where(ub >= 1.0, 1 - 10e-6, jnp.maximum(ub, 0.0))
     x = jnp.clip(ua * (W - 1), 0.0, W - 1)
     y = jnp.clip(ub * (H - 1), 0.0, H - 1)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
+    # corner-packed one-take form — see scattered_grid_features_cn
+    x0 = jnp.minimum(jnp.floor(x), W - 2).astype(jnp.int32)
+    y0 = jnp.minimum(jnp.floor(y), H - 2).astype(jnp.int32)
     wx = (x - x0)[None].astype(dtype)
     wy = (y - y0)[None].astype(dtype)
-    flat = pl.reshape(-1, C).T.astype(dtype)           # (C, H·W)
+    pl = pl.astype(dtype)
+    px = jnp.concatenate([pl, jnp.roll(pl, -1, axis=1)], axis=-1)
+    py = jnp.concatenate([px, jnp.roll(px, -1, axis=0)], axis=-1)
+    rows = jnp.take(py.reshape(-1, 4 * C), y0 * W + x0, axis=0)
+    blk = rows.T                                        # (4C, N)
 
-    def at(yy, xx):
-        return jnp.take(flat, yy * W + xx, axis=1)
-
-    c0 = at(y0, x0) * (1 - wx) + at(y0, x1) * wx
-    c1 = at(y1, x0) * (1 - wx) + at(y1, x1) * wx
+    c0 = blk[:C] * (1 - wx) + blk[C:2 * C] * wx
+    c1 = blk[2 * C:3 * C] * (1 - wx) + blk[3 * C:] * wx
     return c0 * (1 - wy) + c1 * wy
 
 
