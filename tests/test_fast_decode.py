@@ -458,3 +458,24 @@ def test_decode_points_batched_lattice(rng):
                                     transfer_dtype=jnp.float32,
                                     lattice_reso=reso)
     np.testing.assert_allclose(lat, f32, atol=1e-5)
+
+
+def test_sticky_bucket_reuse(rng):
+    """Bucket hysteresis: drifting N must reuse an already-compiled bucket
+    within 2x instead of minting a new padded size (each new size is a
+    fresh XLA compile — multi-minute through a remote-compile backend)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    sig = ("scatter", "none", False, False, "float32")
+    b1 = gen._sticky_bucket(sig, 5000)       # fresh: 6144
+    assert b1 == 6144
+    assert gen._sticky_bucket(sig, 4097) == 6144   # 6144 <= 2*6144, reuse
+    assert gen._sticky_bucket(sig, 6100) == 6144   # still fits
+    b2 = gen._sticky_bucket(sig, 7000)       # fresh: 8192
+    assert b2 == 8192
+    assert gen._sticky_bucket(sig, 5000) == 6144   # smallest in-range wins
+    assert gen._sticky_bucket(sig, 2048) == 2048   # 6144 > 2*2048: fresh
+    # separate signatures do not share buckets
+    assert gen._sticky_bucket(("other",), 5000) == 6144

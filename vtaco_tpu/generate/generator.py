@@ -86,6 +86,7 @@ class Generator3D:
         self.model = model
         self.matmul_precision = matmul_precision
         self._apply_cache = {}
+        self._buckets_used = {}
         self.points_batch_size = points_batch_size
         self.threshold = threshold
         # validate eagerly: a typo'd string (or a bool, which passes
@@ -133,11 +134,13 @@ class Generator3D:
             static_argnames=("nx", "gating", "dtype", "use_pallas", "leaky",
                              "pallas_tile", "out_dtype", "out_xmajor"),
         )
+        # lattice_reso is a TRACED operand (None vs scalar picks the
+        # program; the value doesn't) so every MISE level shares one
+        # compiled program instead of recompiling per resolution
         self._decode_scatter_fast = jax.jit(
             self._decode_scatter_fast_impl,
             static_argnames=("gating", "dtype", "use_pallas", "leaky",
-                             "pallas_tile", "out_dtype", "lattice_reso",
-                             "coord_quant"),
+                             "pallas_tile", "out_dtype", "coord_quant"),
         )
 
     @classmethod
@@ -405,7 +408,8 @@ class Generator3D:
 
         box = 1 + self.padding
         if lattice_reso is not None:
-            p_cn = box * (p_cn.astype(jnp.float32) / lattice_reso - 0.5)
+            p_cn = box * (p_cn.astype(jnp.float32)
+                          / jnp.float32(lattice_reso) - 0.5)
         elif coord_quant:
             p_cn = box * (p_cn.astype(jnp.float32) / 65535.0 - 0.5)
         feats = scattered_feature_volume_cn(c, p_cn, self.padding, dtype)
@@ -548,6 +552,22 @@ class Generator3D:
         cand = p if p // 4 * 3 < n else p // 4 * 3     # 1.5·2^(k-2) step
         return max(align, -(-cand // align) * align)
 
+    def _sticky_bucket(self, sig, n: int) -> int:
+        """Bucket with compile-reuse hysteresis: if a bucket already
+        compiled for ``sig`` (a hashable program signature) is within 2×
+        of the fresh bucket for ``n``, pad up to it instead of compiling
+        a new program. MISE refinement query counts drift a few percent
+        between objects/levels/requests; without this every drift across
+        a bucket edge pays a multi-second (remote: multi-minute) XLA
+        compile to save ≤2× of a sub-second padded decode."""
+        b = self._scatter_bucket(n)
+        used = self._buckets_used.setdefault(sig, set())
+        cands = [u for u in used if b <= u <= 2 * b]
+        if cands:
+            return min(cands)
+        used.add(b)
+        return b
+
     def eval_points_fast(self, state, pointsf, c, gating="none",
                          gate_pts=None, gate_feat=None, gate_valid=None,
                          transfer_dtype=jnp.bfloat16, dtype=jnp.float32,
@@ -578,7 +598,10 @@ class Generator3D:
             with_img=gating != "none",
         )
         n = pointsf.shape[0]
-        npad = self._scatter_bucket(n)
+        npad = self._sticky_bucket(
+            ("scatter", gating, lattice_reso is not None, coord_quant,
+             jnp.dtype(dtype).name), n,
+        )
         if lattice_reso is not None:
             pts = np.zeros((3, npad), np.int16)
             pts[:, :n] = np.asarray(pointsf, np.int16).T
@@ -908,16 +931,22 @@ class Generator3D:
                 state.params["decoder"], self.model.decoder.n_blocks,
                 with_img=False,
             )
-            mpad = self._scatter_bucket(M)
+            mpad = self._sticky_bucket(
+                ("scatter_batched", B, lattice_reso is not None,
+                 jnp.dtype(transfer_dtype).name), M,
+            )
             pts_cn = np.zeros((B, 3, mpad),
                               np.int16 if lattice_reso else np.float32)
             pts_cn[:, :, :M] = pts_b.transpose(0, 2, 1)
             cache = getattr(self, "_decode_pts_batched_fast", None)
             if cache is None:
                 cache = self._decode_pts_batched_fast = {}
-            key = (use_pallas, jnp.dtype(transfer_dtype).name, lattice_reso)
+            # reso rides as a traced scalar so every MISE level (and any
+            # future resolution) reuses ONE compiled program per shape
+            key = (use_pallas, jnp.dtype(transfer_dtype).name,
+                   lattice_reso is not None)
             if key not in cache:
-                def one(tp, p_cn, c_s):
+                def one(tp, p_cn, c_s, reso):
                     return self._decode_scatter_fast_impl(
                         tp, p_cn, c_s, jnp.zeros((1, 3)), jnp.zeros((1, 1)),
                         jnp.zeros((1,), bool), gating="none",
@@ -925,13 +954,13 @@ class Generator3D:
                         # under vmap, Mosaic compiles crash below tile 4096
                         # (ops/pallas/decode.py docstring) — pin it
                         pallas_tile=4096 if use_pallas else None,
-                        lattice_reso=lattice_reso,
+                        lattice_reso=reso,
                     )
 
                 cache[key] = jax.jit(
-                    lambda tp, pB, cB: jax.vmap(one, in_axes=(None, 0, 0))(
-                        tp, pB, cB
-                    ).astype(transfer_dtype)
+                    lambda tp, pB, cB, reso: jax.vmap(
+                        one, in_axes=(None, 0, 0, None)
+                    )(tp, pB, cB, reso).astype(transfer_dtype)
                 )
             pts_dev = jnp.asarray(pts_cn)
             if device_mesh is not None:
@@ -943,7 +972,7 @@ class Generator3D:
                 pts_dev = jax.device_put(
                     pts_dev, NamedSharding(device_mesh, P("data"))
                 )
-            out = cache[key](tp, pts_dev, c_batched)
+            out = cache[key](tp, pts_dev, c_batched, lattice_reso)
             return np.asarray(out).astype(np.float32)[:, :M]
         variables = self._vars(state)
         bs = self.points_batch_size
