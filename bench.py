@@ -663,6 +663,34 @@ def main():
                 ),
             }
 
+            # int8 transfer variant: quarter download payload (per-object
+            # scaled quantization, in-program)
+            try:
+                def serve_int8(pts_in):
+                    cB = enc_b(variables, pts_in)
+                    vals = gen.decode_dense_batched(
+                        state, nx, cB, dtype=serve_dtype,
+                        transfer_dtype=jnp.int8,
+                    )
+                    return [
+                        marching_cubes(
+                            np.asarray(vals[b], np.float32).reshape(nx, nx, nx),
+                            gradient="ascent")
+                        for b in range(B)
+                    ]
+
+                serve_int8(pts_b)  # warm/compile
+                t_b8 = np.inf
+                for r in range(2):
+                    t0 = time.time()
+                    serve_int8(pts_b * (1.03 + 0.01 * r))
+                    t_b8 = min(t_b8, time.time() - t0)
+                batched_detail["batched_objects_per_sec_int8"] = round(
+                    B / t_b8, 2
+                )
+            except Exception as e:
+                batched_detail["batched_int8_error"] = repr(e)[:120]
+
         except Exception as e:
             # optional section: record the failure, keep the headline
             _mark(f"batched section FAILED: {e!r}")
@@ -690,6 +718,27 @@ def main():
                 "mise256_first_s": round(t_mise_first, 1),
                 "mise256_verts": int(len(verts_m)),
             }
+
+            # serving A/B: the device dense decode is fast enough that a
+            # SINGLE full 256³ decode (int8-quantized transfer, 16.8 MB)
+            # can rival MISE's decode-little-transfer-little refinement —
+            # which wins depends on the link bandwidth, so record both
+            try:
+                _mark("dense-direct 256^3 (vs MISE)")
+                gen.eval_points_dense(state, 256, c_variants[0],
+                                      transfer_dtype=jnp.int8)
+                t0 = time.time()
+                vals_d = gen.eval_points_dense(state, 256, c_variants[1],
+                                               transfer_dtype=jnp.int8)
+                grid_d = vals_d.reshape(256, 256, 256)
+                v_d, _ = marching_cubes(grid_d, level=float(vals_d.mean()),
+                                        gradient="ascent")
+                mise_detail["mise256_dense_direct_s"] = round(
+                    time.time() - t0, 3
+                )
+                mise_detail["mise256_dense_direct_verts"] = int(len(v_d))
+            except Exception as e:
+                mise_detail["mise256_dense_direct_error"] = repr(e)[:120]
 
             if args.batch_objects > 0:
                 # batched MISE serving (BASELINE config 5): B objects refined

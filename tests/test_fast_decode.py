@@ -479,3 +479,19 @@ def test_sticky_bucket_reuse(rng):
     assert gen._sticky_bucket(sig, 2048) == 2048   # 6144 > 2*2048: fresh
     # separate signatures do not share buckets
     assert gen._sticky_bucket(("other",), 5000) == 6144
+
+
+def test_decode_dense_batched_int8(rng):
+    """Batched dense decode with int8 transfer: per-object scale-dequantized
+    values within one quantization step of the bf16/f32 path."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    B = 3
+    cB = {k: jnp.concatenate([v * (1 + 0.2 * b) for b in range(B)])
+          for k, v in c_planes.items()}
+    exact = gen.decode_dense_batched(state, 8, cB, transfer_dtype=jnp.float32)
+    q = gen.decode_dense_batched(state, 8, cB, transfer_dtype=jnp.int8)
+    step = np.abs(exact).max(axis=1, keepdims=True) / 127.0
+    assert (np.abs(q - exact) <= step * 1.01).all()

@@ -637,9 +637,10 @@ class Generator3D:
         The reference's hot loop (generation.py:338-383) with the
         per-point feature gating fused in. By default (``fast=None``)
         non-crop inputs route through :meth:`eval_points_fast` — the
-        channels-first gather-interp + fused-trunk path, one dispatch and
-        one bf16 transfer (measured 4.9×→~2× of the dense decode's
-        latency at 2.1M points vs the legacy chunked loop below).
+        channels-first corner-packed-gather + fused-trunk path, one
+        dispatch and one bf16 transfer (2.1M points: 59 ms device vs the
+        legacy chunked loop's ~190 ms; inclusive latency is bound by the
+        24 MB f32 coord upload — see the lattice/quant modes there).
         ``fast=False`` forces the legacy (N, C)-layout chunked path
         (lax.map over chunk stacks — still one dispatch, but gather
         interp + gating materialize full-width intermediates). Crop-mode
@@ -827,15 +828,18 @@ class Generator3D:
     # ------------------------------------------------------------------
     def decode_dense_batched(self, state, nx, c_batched, device_mesh=None,
                              dtype=jnp.float32, return_device=False,
-                             use_pallas=None):
+                             use_pallas=None, transfer_dtype=jnp.bfloat16):
         """Data-parallel batched dense decode: (B, ...) feature fields →
         (B, nx³) logits, vmapped per sample and (optionally) sharded over
         the mesh's 'data' axis — the batched multi-object inference mode
         the single-GPU reference lacks.
 
-        ``return_device=True`` returns the (bf16) device array WITHOUT
-        blocking — the dispatch stays asynchronous, so callers can overlap
-        host work (marching cubes) with the device computation.
+        ``return_device=True`` returns the device array WITHOUT blocking —
+        the dispatch stays asynchronous, so callers can overlap host work
+        (marching cubes) with the device computation. ``transfer_dtype``
+        is applied in-program: bf16 (default) halves the (B, nx³) payload;
+        ``jnp.int8`` quantizes per object (scale = max|logit|/127, quarter
+        payload — ample for iso-crossing interpolation).
 
         On TPU the vmapped Pallas trunk is the default (use_pallas=None →
         the generator's 'auto' setting): measured at B=8×128³ on v5e it
@@ -861,10 +865,12 @@ class Generator3D:
         use_pallas = bool(use_pallas) and not leaky
         if use_pallas:
             dtype = jnp.float32  # Mosaic rejects bf16 MXU dots (DESIGN.md)
+        td = jnp.dtype(transfer_dtype)
+        quant = td == jnp.dtype(jnp.int8)  # per-object scaled int8 mode
         cache = getattr(self, "_decode_dense_vmapped", None)
         if cache is None:
             cache = self._decode_dense_vmapped = {}
-        key = (nx, jnp.dtype(dtype).name, use_pallas)
+        key = (nx, jnp.dtype(dtype).name, use_pallas, td.name)
         if key not in cache:
             def one(tp, c):
                 return self._decode_dense_fast_impl(
@@ -879,10 +885,19 @@ class Generator3D:
             def batched(tp, cB):
                 out = jax.vmap(one, in_axes=(None, 0))(tp, cB)
                 B = out.shape[0]
-                # reorder to x-major on device; bf16 halves the transfer
-                return out.reshape(B, nx, nx, nx).transpose(0, 3, 2, 1).reshape(
+                # reorder to x-major on device; the transfer cast (bf16
+                # default, per-object-scaled int8 quarter payload) is
+                # in-program — a post-jit cast costs another dispatch
+                out = out.reshape(B, nx, nx, nx).transpose(0, 3, 2, 1).reshape(
                     B, -1
-                ).astype(jnp.bfloat16)
+                )
+                if quant:
+                    scale = jnp.maximum(
+                        jnp.max(jnp.abs(out), axis=1), 1e-6
+                    ) / 127.0
+                    q = jnp.round(out / scale[:, None]).astype(jnp.int8)
+                    return q, scale.astype(jnp.float32)
+                return out.astype(td)
 
             cache[key] = jax.jit(batched)
         if device_mesh is not None:
@@ -891,7 +906,10 @@ class Generator3D:
             c_batched = shard_batch(device_mesh, c_batched)
         logits = cache[key](tp, c_batched)
         if return_device:
-            return logits  # device bf16 (B, nx³); dispatch is async
+            return logits  # device (B, nx³) in transfer_dtype; async
+        if quant:
+            q, scale = logits
+            return np.asarray(q).astype(np.float32) * np.asarray(scale)[:, None]
         return np.asarray(logits).astype(np.float32)
 
     # ------------------------------------------------------------------
