@@ -823,6 +823,52 @@ def main():
                     round(Bm * n_fl / t_mise_pipe, 2)
                 )
 
+                # batched dense-direct 256³: ONE vmapped decode dispatch for
+                # all B objects (int8 in-program quantization, quarter
+                # payload = 16.8 MB/object), then host MC per object. Trades
+                # MISE's decode-little/refine-often pattern for the device's
+                # dense batched throughput — at these rates the full 256³
+                # decode is cheaper than MISE's many refinement dispatches.
+                try:
+                    _mark("batched dense-direct 256^3")
+                    gen.decode_dense_batched(state, 256, cB_mise,
+                                             transfer_dtype=jnp.int8)
+                    t_dd_b = np.inf
+                    for r in range(2):
+                        cB_v = jax.tree.map(
+                            lambda x: x * (1.0 + 1e-3 * (20 + r)), cB_mise
+                        )
+                        jax.block_until_ready(cB_v)
+                        t0 = time.time()
+                        vals_b = gen.decode_dense_batched(
+                            state, 256, cB_v, transfer_dtype=jnp.int8
+                        )
+                        t_fetch = time.time() - t0
+                        meshes_d = [
+                            marching_cubes(
+                                v.reshape(256, 256, 256),
+                                level=float(v.mean()), gradient="ascent",
+                            )
+                            for v in vals_b
+                        ]
+                        tot = time.time() - t0
+                        if tot < t_dd_b:
+                            t_dd_b, split_dd = tot, (t_fetch, tot - t_fetch)
+                    mise_detail.update(
+                        mise256_batched_dense_total_s=round(t_dd_b, 3),
+                        mise256_batched_dense_objects_per_sec=round(
+                            Bm / t_dd_b, 2
+                        ),
+                        # decode+fetch vs host-MC split of the best run
+                        mise256_batched_dense_decode_s=round(split_dd[0], 3),
+                        mise256_batched_dense_mc_s=round(split_dd[1], 3),
+                        mise256_batched_dense_verts=int(
+                            np.mean([len(v) for v, _ in meshes_d])
+                        ),
+                    )
+                except Exception as e:
+                    mise_detail["mise256_batched_dense_error"] = repr(e)[:160]
+
         except Exception as e:
             # optional section: record the failure, keep the headline
             _mark(f"mise section FAILED: {e!r}")
@@ -950,8 +996,20 @@ def main():
                             _mark(f"train batch-scaling B={B_s}"
                                   f"{' (remat)' if remat_s else ''}")
                             if remat_s:
+                                # per-block UNet3D remat (same param tree):
+                                # trainer-level jax.checkpoint alone still
+                                # OOMs at B=12 — the whole-encoder region's
+                                # backward re-materializes every UNet
+                                # intermediate at once
+                                import copy as _copy
+
+                                rcfg = _copy.deepcopy(tcfg)
+                                rcfg["model"]["encoder_kwargs"].setdefault(
+                                    "unet3d_kwargs", {}
+                                )["remat"] = True
+                                model_r, _ = get_model(rcfg)
                                 tr_s = Trainer.from_config(
-                                    model, tcfg, mesh_bank=bank, remat=True,
+                                    model_r, rcfg, mesh_bank=bank, remat=True,
                                     skip_unused_t2d=True,
                                     compute_dtype="bfloat16",
                                 )

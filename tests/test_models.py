@@ -61,6 +61,32 @@ def test_unet3d_shapes(rng):
     assert y.shape == (1, 8, 8, 8, 8)
 
 
+def test_unet3d_remat_parity(rng):
+    """Per-block remat (the B=12 train-memory mode) must keep the exact
+    parameter tree and outputs of the plain UNet — checkpoints interchange."""
+    import jax
+
+    from vtaco_tpu.models.unet3d import UNet3D
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 8)), jnp.float32)
+    net = UNet3D(out_channels=8, f_maps=8, num_levels=2)
+    net_r = UNet3D(out_channels=8, f_maps=8, num_levels=2, remat=True)
+    v = net.init(RNG, x, train=False)
+    v_r = net_r.init(RNG, x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_r)
+    # remat shifts XLA fusion boundaries → last-ulp drift, not bit equality
+    np.testing.assert_allclose(
+        net.apply(v, x, train=True), net_r.apply(v, x, train=True),
+        rtol=1e-5, atol=2e-6,
+    )
+    g = jax.grad(lambda p: net.apply(p, x, train=True).sum())(v)
+    g_r = jax.grad(lambda p: net_r.apply(p, x, train=True).sum())(v)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4),
+        g, g_r,
+    )
+
+
 def test_small_channel_conv3_matches_conv3d(rng):
     """SmallChannelConv3 (three depth-shifted 2D convs) must equal the
     plain 3D conv with the same kernel, bias on and off."""

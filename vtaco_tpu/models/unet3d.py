@@ -196,6 +196,11 @@ class Abstract3DUNet(nn.Module):
     num_groups: int = 8
     num_levels: int = 4
     basic_module: str = "double_conv"  # 'double_conv' | 'ext_resnet'
+    # rematerialize each conv block in the backward pass: peak activation
+    # memory drops from the whole-UNet chain to one block's internals plus
+    # the block-boundary residuals — what makes B=12 at 64³ fit on one chip.
+    # nn.remat preserves the parameter tree, so checkpoints interchange.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -204,20 +209,24 @@ class Abstract3DUNet(nn.Module):
             f_maps = number_of_features_per_level(f_maps, self.num_levels)
 
         use_double = self.basic_module == "double_conv"
+        DC, ERB = DoubleConv, ExtResNetBlock
+        if self.remat:
+            DC = nn.remat(DoubleConv, static_argnums=(2,))
+            ERB = nn.remat(ExtResNetBlock, static_argnums=(2,))
 
         encoders_features = []
         for i, out_f in enumerate(f_maps):
             if i > 0:
                 x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
             if use_double:
-                x = DoubleConv(out_f, encoder=True, order=self.layer_order,
-                               num_groups=self.num_groups, name=f"enc{i}")(
-                    x, train=train
+                x = DC(out_f, encoder=True, order=self.layer_order,
+                       num_groups=self.num_groups, name=f"enc{i}")(
+                    x, train  # positional: static arg under nn.remat
                 )
             else:
-                x = ExtResNetBlock(out_f, order=self.layer_order,
-                                   num_groups=self.num_groups, name=f"enc{i}")(
-                    x, train=train
+                x = ERB(out_f, order=self.layer_order,
+                        num_groups=self.num_groups, name=f"enc{i}")(
+                    x, train
                 )
             encoders_features.insert(0, x)
 
@@ -230,9 +239,9 @@ class Abstract3DUNet(nn.Module):
                 b, d, h, w, c = x.shape
                 x = jax.image.resize(x, (b, *tgt, c), method="nearest")
                 x = jnp.concatenate([enc_f, x], axis=-1)
-                x = DoubleConv(out_f, encoder=False, order=self.layer_order,
-                               num_groups=self.num_groups, name=f"dec{i}")(
-                    x, train=train
+                x = DC(out_f, encoder=False, order=self.layer_order,
+                       num_groups=self.num_groups, name=f"dec{i}")(
+                    x, train
                 )
             else:
                 x = nn.ConvTranspose(out_f, (3, 3, 3), strides=(2, 2, 2),
@@ -240,9 +249,9 @@ class Abstract3DUNet(nn.Module):
                 # transpose conv must reproduce the encoder spatial size
                 x = x[:, : tgt[0], : tgt[1], : tgt[2], :]
                 x = enc_f + x
-                x = ExtResNetBlock(out_f, order=self.layer_order,
-                                   num_groups=self.num_groups, name=f"dec{i}")(
-                    x, train=train
+                x = ERB(out_f, order=self.layer_order,
+                        num_groups=self.num_groups, name=f"dec{i}")(
+                    x, train
                 )
 
         x = nn.Conv(self.out_channels, (1, 1, 1), name="final_conv")(x)
