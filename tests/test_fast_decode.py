@@ -410,12 +410,88 @@ def test_eval_points_fast_lattice_exact(rng):
     box = 1 + gen.padding
     pts_int = rng.integers(0, reso + 1, (513, 3))
     coords = box * (pts_int.astype(np.float32) / reso - 0.5)
+    # detect_lattice=False pins the f32-coord reference path (these coords
+    # ARE a lattice, so the default would auto-take the compact upload)
     host = gen.eval_points_fast(state, coords, c_planes,
-                                transfer_dtype=jnp.float32)
+                                transfer_dtype=jnp.float32,
+                                detect_lattice=False)
     lat = gen.eval_points_fast(state, pts_int, c_planes,
                                transfer_dtype=jnp.float32,
                                lattice_reso=reso)
     np.testing.assert_allclose(lat, host, atol=1e-5)
+
+
+def test_eval_points_fast_lattice_autodetect(rng):
+    """f32 query sets that ARE a lattice (dense grids, MISE refinement)
+    must be auto-detected and take the compact uint8/int16 upload with
+    results matching the exact f32-coord path to float roundoff; anything
+    not on a lattice must keep the exact path untouched."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    box = 1 + gen.padding
+
+    # estimator: random points are not a lattice; lattice points are
+    assert gen._estimate_lattice_reso(
+        rng.uniform(-0.5, 0.5, (500, 3)).astype(np.float32), box) is None
+    for reso in (31, 127, 256):
+        ii = rng.integers(0, reso + 1, (500, 3))
+        coords = (box * (ii.astype(np.float64) / reso - 0.5)).astype(
+            np.float32)
+        est = gen._estimate_lattice_reso(coords, box)
+        assert est is not None and est % 1 == 0 and reso % est == 0, (
+            reso, est)
+
+    reso = 127
+    ii = rng.integers(0, reso + 1, (513, 3))
+    coords = (box * (ii.astype(np.float64) / reso - 0.5)).astype(np.float32)
+    exact = gen.eval_points_fast(state, coords, c_planes,
+                                 transfer_dtype=jnp.float32,
+                                 detect_lattice=False)
+    auto = gen.eval_points_fast(state, coords, c_planes,
+                                transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(auto, exact, atol=1e-5)
+    # the detected path really took the compact lattice upload
+    assert any("lattice" in sig for sig in gen._buckets_used
+               if isinstance(sig, tuple)), gen._buckets_used
+
+    # a point pushed off the lattice beyond the snap tolerance
+    # (1e-3 lattice units) must force the exact f32 fallback
+    coords_off = coords.copy()
+    coords_off[7, 1] += 0.01 * box / reso
+    off = gen.eval_points_fast(state, coords_off, c_planes,
+                               transfer_dtype=jnp.float32)
+    ref_off = gen.eval_points_fast(state, coords_off, c_planes,
+                                   transfer_dtype=jnp.float32,
+                                   detect_lattice=False)
+    np.testing.assert_allclose(off, ref_off, atol=1e-6)
+
+
+def test_lattice_encode_host_native_matches_numpy(rng):
+    """The native one-pass lattice encoder and the numpy fallback must
+    produce identical arrays and equivalent residuals."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    box = 1.1
+    for reso, dt in ((127, np.uint8), (256, np.int16)):
+        ii = rng.integers(0, reso + 1, (777, 3))
+        p = (box * (ii.astype(np.float64) / reso - 0.5)).astype(np.float32)
+        npad = 1024
+        got, resid = Generator3D._lattice_encode_host(p, box, reso, npad)
+        assert got.dtype == dt and got.shape == (3, npad)
+        np.testing.assert_array_equal(got[:, :777], ii.T)
+        assert got[:, 777:].max() == 0 and resid <= 1e-3
+        # numpy reference (the fallback body)
+        w = p.astype(np.float32).T * (reso / box) + 0.5 * reso
+        r = np.rint(w)
+        np.testing.assert_array_equal(got[:, :777], r.astype(dt))
+        # out-of-range coords poison the residual
+        p_bad = p.copy()
+        p_bad[0, 0] = box
+        _, resid_bad = Generator3D._lattice_encode_host(p_bad, box, reso,
+                                                        npad)
+        assert resid_bad > 1e3
 
 
 def test_eval_points_fast_coord_quant(rng):

@@ -568,11 +568,60 @@ class Generator3D:
         used.add(b)
         return b
 
+    @staticmethod
+    def _estimate_lattice_reso(p, box, max_reso=4096):
+        """Sampled denominator estimate for grid-structured query sets: if
+        every sampled coordinate looks like ``box·(i/R − 0.5)`` for one
+        R ≤ max_reso, return R, else None. A sample can only
+        under-estimate R (by missing finer points); the fused
+        convert+verify pass rejects those encodings, so a wrong estimate
+        costs one wasted host pass, never wrong results."""
+        from fractions import Fraction
+        from math import gcd
+
+        s = np.asarray(p, np.float64).reshape(-1)
+        if s.size == 0:
+            return None
+        vals = s[:: max(1, s.size // 192)][:192] / box + 0.5
+        if vals.min() < -1e-6 or vals.max() > 1 + 1e-6:
+            return None
+        reso = 1
+        for v in vals:
+            f = Fraction(float(v)).limit_denominator(max_reso)
+            if abs(float(f) - v) > 1e-5:
+                return None
+            reso = reso * f.denominator // gcd(reso, f.denominator)
+            if reso > max_reso:
+                return None
+        return reso
+
+    @staticmethod
+    def _lattice_encode_host(p, box, reso, npad):
+        """(N, 3) f32 world coords → ((3, npad) uint8/int16 lattice
+        array, max residual in lattice units). One fused native pass
+        (convert+verify+transpose ≈15 ms at 2.1M points on this host's
+        single core); numpy fallback if the extension can't build.
+        Out-of-range coords poison the residual → caller falls back."""
+        n = len(p)
+        try:
+            from vtaco_tpu.native import geom
+
+            return geom.lattice_encode(p, box, reso, npad)
+        except Exception:
+            w = np.asarray(p, np.float32).T * (reso / box) + 0.5 * reso
+            r = np.rint(w)
+            resid = float(np.abs(w - r).max()) if n else 0.0
+            if n and (r.min() < 0 or r.max() > reso):
+                resid = 1e9
+            out = np.zeros((3, npad), np.uint8 if reso <= 255 else np.int16)
+            out[:, :n] = r
+            return out, resid
+
     def eval_points_fast(self, state, pointsf, c, gating="none",
                          gate_pts=None, gate_feat=None, gate_valid=None,
                          transfer_dtype=jnp.bfloat16, dtype=jnp.float32,
                          use_pallas=None, lattice_reso=None,
-                         coord_quant=False):
+                         coord_quant=False, detect_lattice=True):
         """Scattered decode over (N, 3) host points through the
         channels-first fast trunk (Pallas on TPU): ONE dispatch — gather
         interpolation + (fused) gating + MLP — and one ``transfer_dtype``
@@ -581,9 +630,15 @@ class Generator3D:
 
         ``lattice_reso=R``: ``pointsf`` is an integer (N, 3) lattice-point
         array (world coords ``box·(p/R − 0.5)`` computed in-program —
-        exact to f32 roundoff, half the upload). ``coord_quant=True``: quantize
-        world coords to uint16 on the host (error ≤ 8.4e-6 world units,
-        half the upload; for tunnel-bound serving)."""
+        exact to f32 roundoff; uint8 upload at R ≤ 255, 3 B/pt, else
+        int16). ``coord_quant=True``: quantize world coords to uint16 on
+        the host (error ≤ 8.4e-6 world units, half the upload; for
+        tunnel-bound serving). ``detect_lattice`` (default): f32 inputs
+        that ARE a lattice — dense grids, MISE refinement levels — are
+        detected (sampled denominator estimate + fused native
+        convert/verify pass) and take the compact upload automatically;
+        points within 1e-3·(box/R) of a node snap to it, anything else
+        keeps the exact f32 path."""
         if use_pallas is None:
             use_pallas = self._pallas_enabled()
         if gate_pts is None:
@@ -598,25 +653,49 @@ class Generator3D:
             with_img=gating != "none",
         )
         n = pointsf.shape[0]
-        npad = self._sticky_bucket(
-            ("scatter", gating, lattice_reso is not None, coord_quant,
-             jnp.dtype(dtype).name), n,
-        )
-        if lattice_reso is not None:
-            pts = np.zeros((3, npad), np.int16)
-            pts[:, :n] = np.asarray(pointsf, np.int16).T
+        box = 1 + self.padding
+        pf = np.asarray(pointsf)
+        dt_name = jnp.dtype(dtype).name
+        pts = None
+        if (lattice_reso is None and not coord_quant and detect_lattice
+                and np.issubdtype(pf.dtype, np.floating)):
+            reso = self._estimate_lattice_reso(pf, box)
+            if reso is not None:
+                sdt = "u8" if reso <= 255 else "i16"
+                npad = self._sticky_bucket(
+                    ("scatter", gating, "lattice", sdt, dt_name), n)
+                cand, resid = self._lattice_encode_host(pf, box, reso, npad)
+                if resid <= 1e-3:
+                    pts, lattice_reso = cand, reso
+        if pts is not None:
+            pass
+        elif lattice_reso is not None:
+            li = pf
+            u8 = (lattice_reso <= 255 and li.size
+                  and li.min() >= 0 and li.max() <= 255)
+            npad = self._sticky_bucket(
+                ("scatter", gating, "lattice", "u8" if u8 else "i16",
+                 dt_name), n)
+            pts = np.zeros((3, npad), np.uint8 if u8 else np.int16)
+            pts[:, :n] = li.astype(pts.dtype).T
         elif coord_quant:
-            box = 1 + self.padding
-            u = np.asarray(pointsf, np.float32).T / box + 0.5
+            npad = self._sticky_bucket(
+                ("scatter", gating, "quant", dt_name), n)
+            u = pf.astype(np.float32).T / box + 0.5
             pts = np.zeros((3, npad), np.uint16)
             pts[:, :n] = np.round(np.clip(u, 0.0, 1.0) * 65535.0)
         else:
+            npad = self._sticky_bucket(
+                ("scatter", gating, "f32", dt_name), n)
             pts = np.zeros((3, npad), np.float32)
-            pts[:, :n] = np.asarray(pointsf, np.float32).T
+            pts[:, :n] = pf.astype(np.float32, copy=False).T
         td = jnp.dtype(transfer_dtype)
         td = "int8" if td == jnp.dtype(jnp.int8) else td  # scaled mode
+        # host numpy goes straight into the dispatch: a separate
+        # device_put is one more tunnel round trip (measured +0.2 s on
+        # the 24 MB f32 upload)
         out = self._decode_scatter_fast(
-            tp, jnp.asarray(pts), c, gate_pts, gate_feat, gate_valid,
+            tp, pts, c, gate_pts, gate_feat, gate_valid,
             gating=gating, dtype=dtype, use_pallas=use_pallas,
             leaky=getattr(decoder, "leaky", False),
             out_dtype=td, lattice_reso=lattice_reso,

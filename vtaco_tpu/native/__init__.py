@@ -147,6 +147,11 @@ class _Geom:
                 c_f, ctypes.c_int64, c_i, ctypes.c_int64, c_f,
                 ctypes.c_int64, c_f,
             ]
+            lib.vtaco_lattice_encode.restype = ctypes.c_float
+            lib.vtaco_lattice_encode.argtypes = [
+                c_f, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ]
             lib.vtaco_read_mesh.restype = ctypes.c_void_p
             lib.vtaco_read_mesh.argtypes = [ctypes.c_char_p]
             lib.vtaco_mesh_num_verts.restype = ctypes.c_int64
@@ -196,6 +201,27 @@ class _Geom:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         return out
+
+    def lattice_encode(self, points, box, reso, npad):
+        """Fused convert+verify+transpose of (N, 3) f32 world coords into
+        the scattered decode's (3, npad) integer lattice layout,
+        ``w = rint((p/box + 0.5)·reso)`` — uint8 when reso ≤ 255 else
+        int16. Returns ``(arr, max_residual)`` with the residual in
+        lattice units; the caller rejects encodings above its tolerance
+        (out-of-range coords poison the residual). One memory pass in C++
+        vs four 25 MB numpy passes on this machine's single core."""
+        import numpy as np
+
+        lib = self._ensure()
+        p = np.ascontiguousarray(points, np.float32)
+        dt = np.uint8 if reso <= 255 else np.int16
+        out = np.zeros((3, npad), dt)
+        resid = lib.vtaco_lattice_encode(
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(p),
+            ctypes.c_float(box), ctypes.c_float(reso),
+            out.ctypes.data_as(ctypes.c_void_p), npad, int(dt == np.uint8),
+        )
+        return out, float(resid)
 
     def read_triangle_mesh(self, path):
         """(V, 3) float32 verts, (F, 3) int32 faces from .off/.obj."""

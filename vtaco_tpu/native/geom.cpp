@@ -264,4 +264,38 @@ void vtaco_mesh_copy(void* handle, float* verts_out, int32_t* faces_out) {
 }
 void vtaco_mesh_free(void* handle) { delete static_cast<Mesh*>(handle); }
 
+// ---------------------------------------------------------------------------
+// Lattice encoding for the scattered decode's compact coordinate upload
+// (generator.eval_points_fast): one fused pass turning (n, 3) f32 world
+// coords into the decode program's transposed (3, npad) integer lattice
+// layout, w = rint((p/box + 0.5) * R). Writes uint8 when is8 (R <= 255)
+// else int16. Returns the max |w - rint(w)| residual in lattice units —
+// the caller rejects the encoding (and falls back to f32 coords) above
+// its tolerance; coords outside [0, R] poison the residual. Fused
+// convert+verify+transpose keeps the host cost one memory pass where the
+// equivalent numpy takes four 25 MB passes on this machine's single core.
+float vtaco_lattice_encode(const float* p, int64_t n, float box, float R,
+                           void* out, int64_t npad, int is8) {
+  const float inv = R / box;
+  const float half = 0.5f * R;
+  float maxr = 0.0f;
+  uint8_t* o8 = static_cast<uint8_t*>(out);
+  int16_t* o16 = static_cast<int16_t*>(out);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int d = 0; d < 3; ++d) {
+      float w = p[3 * i + d] * inv + half;
+      float r = std::nearbyint(w);
+      float res = std::fabs(w - r);
+      if (r < 0.0f || r > R) res = 1e9f;  // out of range: force rejection
+      if (res > maxr) maxr = res;
+      if (is8) {
+        o8[d * npad + i] = static_cast<uint8_t>(r < 0.f ? 0.f : r);
+      } else {
+        o16[d * npad + i] = static_cast<int16_t>(r);
+      }
+    }
+  }
+  return maxr;
+}
+
 }  // extern "C"
