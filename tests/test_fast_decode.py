@@ -571,3 +571,23 @@ def test_decode_dense_batched_int8(rng):
     q = gen.decode_dense_batched(state, 8, cB, transfer_dtype=jnp.int8)
     step = np.abs(exact).max(axis=1, keepdims=True) / 127.0
     assert (np.abs(q - exact) <= step * 1.01).all()
+
+
+def test_decode_dense_batched_lax_map_path(rng):
+    """Above batched_vmap_limit total points, decode_dense_batched swaps
+    the vmapped body for lax.map (the giant vmapped program crashes the
+    remote TPU compiler at 8×256³); both paths must agree exactly for
+    every transfer dtype."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    B = 3
+    cB = {k: jnp.concatenate([v * (1 + 0.2 * b) for b in range(B)])
+          for k, v in c_planes.items()}
+    for td in (jnp.float32, jnp.bfloat16, jnp.int8):
+        ref = gen.decode_dense_batched(state, 8, cB, transfer_dtype=td)
+        gen2 = Generator3D(model, resolution0=4, padding=0.1)
+        gen2.batched_vmap_limit = 1  # force the lax.map branch
+        got = gen2.decode_dense_batched(state, 8, cB, transfer_dtype=td)
+        np.testing.assert_array_equal(got, ref, err_msg=str(td))

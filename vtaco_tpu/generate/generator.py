@@ -86,6 +86,10 @@ class Generator3D:
         self.model = model
         self.matmul_precision = matmul_precision
         self._apply_cache = {}
+        # decode_dense_batched: vmap below this many total points, lax.map
+        # above (the giant vmapped program crashes the remote TPU compiler
+        # at 8×256³; the mapped body is the proven single-object program)
+        self.batched_vmap_limit = 1 << 25
         self._buckets_used = {}
         self.points_batch_size = points_batch_size
         self.threshold = threshold
@@ -952,7 +956,7 @@ class Generator3D:
         key = (nx, jnp.dtype(dtype).name, use_pallas, td.name)
         if key not in cache:
             def one(tp, c):
-                return self._decode_dense_fast_impl(
+                out = self._decode_dense_fast_impl(
                     tp, c, jnp.zeros((1, 3)), jnp.zeros((1, 1)),
                     jnp.zeros((1,), bool), nx=nx, gating="none", dtype=dtype,
                     use_pallas=use_pallas, leaky=leaky,
@@ -960,23 +964,26 @@ class Generator3D:
                     # (ops/pallas/decode.py docstring) — pin it
                     pallas_tile=4096 if use_pallas else None,
                 )
-
-            def batched(tp, cB):
-                out = jax.vmap(one, in_axes=(None, 0))(tp, cB)
-                B = out.shape[0]
-                # reorder to x-major on device; the transfer cast (bf16
-                # default, per-object-scaled int8 quarter payload) is
-                # in-program — a post-jit cast costs another dispatch
-                out = out.reshape(B, nx, nx, nx).transpose(0, 3, 2, 1).reshape(
-                    B, -1
-                )
+                # x-major reorder and the transfer cast (bf16 default,
+                # per-object-scaled int8 quarter payload) happen per object
+                # IN-PROGRAM: a post-jit cast costs another dispatch, and
+                # batch-wide f32 intermediates at 256³×B never materialize
+                out = out.reshape(nx, nx, nx).transpose(2, 1, 0).reshape(-1)
                 if quant:
-                    scale = jnp.maximum(
-                        jnp.max(jnp.abs(out), axis=1), 1e-6
-                    ) / 127.0
-                    q = jnp.round(out / scale[:, None]).astype(jnp.int8)
+                    scale = jnp.maximum(jnp.max(jnp.abs(out)), 1e-6) / 127.0
+                    q = jnp.round(out / scale).astype(jnp.int8)
                     return q, scale.astype(jnp.float32)
                 return out.astype(td)
+
+            def batched(tp, cB):
+                B = jax.tree_util.tree_leaves(cB)[0].shape[0]
+                if B * nx ** 3 >= self.batched_vmap_limit:
+                    # the giant vmapped program (e.g. 8×256³ = 134M points)
+                    # crashes the remote TPU compiler; lax.map compiles the
+                    # proven single-object body once and still runs the
+                    # whole batch in ONE dispatch
+                    return jax.lax.map(lambda c: one(tp, c), cB)
+                return jax.vmap(one, in_axes=(None, 0))(tp, cB)
 
             cache[key] = jax.jit(batched)
         if device_mesh is not None:
