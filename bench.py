@@ -322,7 +322,8 @@ def main():
     gen.eval_points(state, pointsf, c_variants[0], args.gating, gate_pts,
                     gate_feat, gate_valid)  # warmup/compile
     t_scatter = np.inf
-    for r in range(max(args.repeats - 2, 2)):
+    # clamp to the variants available: at --repeats 1 len(c_variants) == 2
+    for r in range(min(max(args.repeats - 2, 2), len(c_variants) - 1)):
         t0 = time.time()
         gen.eval_points(state, pointsf, c_variants[r + 1], args.gating,
                         gate_pts, gate_feat, gate_valid)
@@ -341,7 +342,7 @@ def main():
         gen.eval_points_fast(state, pointsf, c_variants[0],
                              coord_quant=True, **kwq)
         tq = np.inf
-        for r in range(2):
+        for r in range(min(2, len(c_variants) - 1)):
             t0 = time.time()
             gen.eval_points_fast(state, pointsf, c_variants[r + 1],
                                  coord_quant=True, **kwq)
@@ -355,7 +356,7 @@ def main():
         gen.eval_points_fast(state, pts_int, c_variants[0],
                              lattice_reso=nx - 1, **kwq)
         tl = np.inf
-        for r in range(2):
+        for r in range(min(2, len(c_variants) - 1)):
             t0 = time.time()
             gen.eval_points_fast(state, pts_int, c_variants[r + 1],
                                  lattice_reso=nx - 1, **kwq)

@@ -468,6 +468,74 @@ def test_eval_points_fast_lattice_autodetect(rng):
     np.testing.assert_allclose(off, ref_off, atol=1e-6)
 
 
+def test_lattice_detection_nan_safe(rng):
+    """NaN/inf coordinates must not crash the detector (Fraction raises on
+    non-finite input) nor slip through the encoders' residual checks as
+    garbage lattice indices — the default eval_points path must keep the
+    reference behavior of returning NaN logits for NaN queries."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    box = 1 + gen.padding
+    reso = 31
+    ii = rng.integers(0, reso + 1, (500, 3))
+    coords = (box * (ii.astype(np.float64) / reso - 0.5)).astype(np.float32)
+    for bad in (np.nan, np.inf, -np.inf):
+        # estimator: a non-finite value IN ITS SAMPLE (index 0 is always
+        # sampled) must be rejected, not passed into Fraction (raises)
+        c_bad = coords.copy()
+        c_bad[0, 0] = bad
+        assert gen._estimate_lattice_reso(c_bad, box) is None
+        # encoders (native and fallback): a NaN the 192-point sampler
+        # MISSES (index 3,1 is unsampled at this size) must poison the
+        # residual, not silently encode a garbage lattice index
+        c_bad = coords.copy()
+        c_bad[3, 1] = bad
+        _, resid = gen._lattice_encode_host(c_bad, box, reso, 512)
+        assert not (resid <= 1e-3), resid
+        # end to end: NaN in → NaN logit out (no crash, no snapping)
+        out = gen.eval_points(state, c_bad, c_planes,
+                              transfer_dtype=jnp.float32)
+        assert np.isnan(out[3])
+        assert np.isfinite(np.delete(out, 3)).all()
+
+
+def test_decode_points_batched_int8(rng):
+    """decode_points_batched must implement the same per-object scaled
+    int8 transfer contract as decode_dense_batched (a raw astype would
+    truncate logits to garbage)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    B, M = 3, 301
+    cB = {k: jnp.concatenate([v * (1 + 0.2 * b) for b in range(B)])
+          for k, v in c_planes.items()}
+    pts = rng.uniform(-0.5, 0.5, (B, M, 3)).astype(np.float32)
+    exact = gen.decode_points_batched(state, pts, cB,
+                                      transfer_dtype=jnp.float32)
+    q = gen.decode_points_batched(state, pts, cB, transfer_dtype=jnp.int8)
+    step = np.abs(exact).max(axis=1, keepdims=True) / 127.0
+    assert (np.abs(q - exact) <= step * 1.01).all()
+
+
+def test_eval_points_slices_above_limit(rng):
+    """eval_points must slice fast-path inputs above scatter_slice_points
+    (the corner-packed row-take is O(N)-wide on device) and still return
+    the same logits as the unsliced path."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    pts = rng.uniform(-0.5, 0.5, (5000, 3)).astype(np.float32)
+    ref = gen.eval_points(state, pts, c_planes, transfer_dtype=jnp.float32)
+    gen2 = Generator3D(model, resolution0=4, padding=0.1)
+    gen2.scatter_slice_points = 2048  # force 3 slices
+    got = gen2.eval_points(state, pts, c_planes, transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_lattice_encode_host_native_matches_numpy(rng):
     """The native one-pass lattice encoder and the numpy fallback must
     produce identical arrays and equivalent residuals."""

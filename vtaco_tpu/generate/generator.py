@@ -90,6 +90,10 @@ class Generator3D:
         # above (the giant vmapped program crashes the remote TPU compiler
         # at 8×256³; the mapped body is the proven single-object program)
         self.batched_vmap_limit = 1 << 25
+        # eval_points fast path: slice inputs above this many points — the
+        # corner-packed row-take materializes (N, 8C) f32 on device
+        # (~17 GB at 256³ in one piece, past the v5e's 16 GB HBM)
+        self.scatter_slice_points = 1 << 22
         self._buckets_used = {}
         self.points_batch_size = points_batch_size
         self.threshold = threshold
@@ -587,7 +591,10 @@ class Generator3D:
         if s.size == 0:
             return None
         vals = s[:: max(1, s.size // 192)][:192] / box + 0.5
-        if vals.min() < -1e-6 or vals.max() > 1 + 1e-6:
+        # negated in-range form: NaN/inf fail the comparison (a plain
+        # min()<lo check is False for NaN and would slip through into
+        # Fraction(), which raises on non-finite input)
+        if not (vals.min() >= -1e-6 and vals.max() <= 1 + 1e-6):
             return None
         reso = 1
         for v in vals:
@@ -614,11 +621,12 @@ class Generator3D:
         except Exception:
             w = np.asarray(p, np.float32).T * (reso / box) + 0.5 * reso
             r = np.rint(w)
-            resid = float(np.abs(w - r).max()) if n else 0.0
-            if n and (r.min() < 0 or r.max() > reso):
-                resid = 1e9
+            ok = n == 0 or bool(np.isfinite(w).all())
+            resid = float(np.abs(w - r).max()) if (n and ok) else 0.0
+            if n and not (ok and r.min() >= 0 and r.max() <= reso):
+                resid = 1e9  # NaN/inf/out-of-range: force rejection
             out = np.zeros((3, npad), np.uint8 if reso <= 255 else np.int16)
-            out[:, :n] = r
+            out[:, :n] = np.where(np.isfinite(r), r, 0)
             return out, resid
 
     def eval_points_fast(self, state, pointsf, c, gating="none",
@@ -693,6 +701,13 @@ class Generator3D:
                 ("scatter", gating, "f32", dt_name), n)
             pts = np.zeros((3, npad), np.float32)
             pts[:, :n] = pf.astype(np.float32, copy=False).T
+        if 0 < n < pts.shape[1]:
+            # pad with copies of the last real point, not zeros: the int8
+            # transfer's quantization scale is max|logit| over the PADDED
+            # program output, and a box-center zero point can carry a
+            # larger logit than any real query — inflating the scale and
+            # coarsening every returned value
+            pts[:, n:] = pts[:, n - 1 : n]
         td = jnp.dtype(transfer_dtype)
         td = "int8" if td == jnp.dtype(jnp.int8) else td  # scaled mode
         # host numpy goes straight into the dispatch: a separate
@@ -737,10 +752,24 @@ class Generator3D:
         if fast is None:
             fast = not crop_mode
         if fast and not crop_mode:
-            return self.eval_points_fast(
-                state, pointsf, c, gating, gate_pts, gate_feat, gate_valid,
-                transfer_dtype=transfer_dtype,
-            )
+            lim = self.scatter_slice_points
+            if n <= lim:
+                return self.eval_points_fast(
+                    state, pointsf, c, gating, gate_pts, gate_feat,
+                    gate_valid, transfer_dtype=transfer_dtype,
+                )
+            # bound the device intermediates: the fast path's corner-packed
+            # row-take materializes (N, 8C) f32 (~17 GB in one piece at
+            # 256³) — slice into lim-point fast decodes, one dispatch each
+            # (slices of a lattice stay lattice, so the compact-coord
+            # detection still applies per slice)
+            return np.concatenate([
+                self.eval_points_fast(
+                    state, pointsf[i : i + lim], c, gating, gate_pts,
+                    gate_feat, gate_valid, transfer_dtype=transfer_dtype,
+                )
+                for i in range(0, n, lim)
+            ])
         if gate_pts is None:
             gate_pts = jnp.zeros((1, 3))
             gate_feat = jnp.zeros((1, 1))
@@ -956,24 +985,20 @@ class Generator3D:
         key = (nx, jnp.dtype(dtype).name, use_pallas, td.name)
         if key not in cache:
             def one(tp, c):
-                out = self._decode_dense_fast_impl(
+                # x-major reorder and the transfer cast (bf16 default,
+                # per-object-scaled int8 quarter payload) happen per object
+                # IN-PROGRAM via out_xmajor/out_dtype (_finalize_logits):
+                # a post-jit cast costs another dispatch, and batch-wide
+                # f32 intermediates at 256³×B never materialize
+                return self._decode_dense_fast_impl(
                     tp, c, jnp.zeros((1, 3)), jnp.zeros((1, 1)),
                     jnp.zeros((1,), bool), nx=nx, gating="none", dtype=dtype,
                     use_pallas=use_pallas, leaky=leaky,
                     # under vmap, Mosaic compiles crash below tile 4096
                     # (ops/pallas/decode.py docstring) — pin it
                     pallas_tile=4096 if use_pallas else None,
+                    out_dtype="int8" if quant else td, out_xmajor=True,
                 )
-                # x-major reorder and the transfer cast (bf16 default,
-                # per-object-scaled int8 quarter payload) happen per object
-                # IN-PROGRAM: a post-jit cast costs another dispatch, and
-                # batch-wide f32 intermediates at 256³×B never materialize
-                out = out.reshape(nx, nx, nx).transpose(2, 1, 0).reshape(-1)
-                if quant:
-                    scale = jnp.maximum(jnp.max(jnp.abs(out)), 1e-6) / 127.0
-                    q = jnp.round(out / scale).astype(jnp.int8)
-                    return q, scale.astype(jnp.float32)
-                return out.astype(td)
 
             def batched(tp, cB):
                 B = jax.tree_util.tree_leaves(cB)[0].shape[0]
@@ -1042,6 +1067,10 @@ class Generator3D:
             pts_cn = np.zeros((B, 3, mpad),
                               np.int16 if lattice_reso else np.float32)
             pts_cn[:, :, :M] = pts_b.transpose(0, 2, 1)
+            if 0 < M < mpad:
+                # pad with the last real point (not zeros) so the int8
+                # quantization scale reflects only real queries
+                pts_cn[:, :, M:] = pts_cn[:, :, M - 1 : M]
             cache = getattr(self, "_decode_pts_batched_fast", None)
             if cache is None:
                 cache = self._decode_pts_batched_fast = {}
@@ -1050,8 +1079,11 @@ class Generator3D:
             key = (use_pallas, jnp.dtype(transfer_dtype).name,
                    lattice_reso is not None)
             if key not in cache:
+                td_b = jnp.dtype(transfer_dtype)
+                quant_b = td_b == jnp.dtype(jnp.int8)
+
                 def one(tp, p_cn, c_s, reso):
-                    return self._decode_scatter_fast_impl(
+                    out = self._decode_scatter_fast_impl(
                         tp, p_cn, c_s, jnp.zeros((1, 3)), jnp.zeros((1, 1)),
                         jnp.zeros((1,), bool), gating="none",
                         dtype=jnp.float32, use_pallas=use_pallas, leaky=leaky,
@@ -1060,11 +1092,20 @@ class Generator3D:
                         pallas_tile=4096 if use_pallas else None,
                         lattice_reso=reso,
                     )
+                    if quant_b:
+                        # per-object scaled int8 (same contract as
+                        # decode_dense_batched / eval_points_fast) — a raw
+                        # astype would truncate logits to garbage
+                        scale = jnp.maximum(jnp.max(jnp.abs(out)),
+                                            1e-6) / 127.0
+                        q = jnp.round(out / scale).astype(jnp.int8)
+                        return q, scale.astype(jnp.float32)
+                    return out.astype(td_b)
 
                 cache[key] = jax.jit(
                     lambda tp, pB, cB, reso: jax.vmap(
                         one, in_axes=(None, 0, 0, None)
-                    )(tp, pB, cB, reso).astype(transfer_dtype)
+                    )(tp, pB, cB, reso)
                 )
             pts_dev = jnp.asarray(pts_cn)
             if device_mesh is not None:
@@ -1077,6 +1118,10 @@ class Generator3D:
                     pts_dev, NamedSharding(device_mesh, P("data"))
                 )
             out = cache[key](tp, pts_dev, c_batched, lattice_reso)
+            if jnp.dtype(transfer_dtype) == jnp.dtype(jnp.int8):
+                q, scale = out
+                return (np.asarray(q).astype(np.float32)
+                        * np.asarray(scale)[:, None])[:, :M]
             return np.asarray(out).astype(np.float32)[:, :M]
         variables = self._vars(state)
         bs = self.points_batch_size

@@ -286,10 +286,16 @@ float vtaco_lattice_encode(const float* p, int64_t n, float box, float R,
       float w = p[3 * i + d] * inv + half;
       float r = std::nearbyint(w);
       float res = std::fabs(w - r);
-      if (r < 0.0f || r > R) res = 1e9f;  // out of range: force rejection
+      // negated in-range form: NaN/inf coords fail the comparison and
+      // poison the residual instead of slipping through (NaN > x is
+      // false for every x, so the plain res>tol check alone would pass)
+      if (!(r >= 0.0f && r <= R)) {
+        res = 1e9f;
+        r = 0.0f;  // keep the int cast defined; caller discards on reject
+      }
       if (res > maxr) maxr = res;
       if (is8) {
-        o8[d * npad + i] = static_cast<uint8_t>(r < 0.f ? 0.f : r);
+        o8[d * npad + i] = static_cast<uint8_t>(r);
       } else {
         o16[d * npad + i] = static_cast<int16_t>(r);
       }
