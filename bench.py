@@ -315,9 +315,13 @@ def main():
         pass  # cost analysis is best-effort (backend-dependent)
 
     # --- scattered (arbitrary-point) decode -------------------------------
-    # default path: gather-interp + fused trunk, one dispatch + one bf16
-    # transfer (eval_points_fast); legacy: the (N, C)-layout chunk-stack
-    # lax.map path kept for crops/comparison
+    # default path (the reference's public eval_points API,
+    # generation.py:338-383): this benchmark's query set is the full nx³
+    # make_3d_grid, so the auto path detects the complete cube and takes
+    # the zero-upload dense route (generator._try_full_grid) — exactly
+    # what real dense-grid callers of this API get. The shuffled variant
+    # below defeats the order check and measures the general scattered
+    # path: compact lattice coord upload + gather-interp + fused trunk.
     _mark("scattered decode (fast)")
     gen.eval_points(state, pointsf, c_variants[0], args.gating, gate_pts,
                     gate_feat, gate_valid)  # warmup/compile
@@ -328,6 +332,17 @@ def main():
         gen.eval_points(state, pointsf, c_variants[r + 1], args.gating,
                         gate_pts, gate_feat, gate_valid)
         t_scatter = min(t_scatter, time.time() - t0)
+    _mark("scattered decode (shuffled — no dense shortcut)")
+    perm = np.random.default_rng(0).permutation(n_points)
+    pointsf_shuf = np.asarray(pointsf, np.float32)[perm]
+    gen.eval_points(state, pointsf_shuf, c_variants[0], args.gating,
+                    gate_pts, gate_feat, gate_valid)  # warmup/compile
+    t_scatter_shuf = np.inf
+    for r in range(min(2, len(c_variants) - 1)):
+        t0 = time.time()
+        gen.eval_points(state, pointsf_shuf, c_variants[r + 1], args.gating,
+                        gate_pts, gate_feat, gate_valid)
+        t_scatter_shuf = min(t_scatter_shuf, time.time() - t0)
     # compact coord uploads: the scattered path is bound by the (3, N)
     # f32 coordinate upload (24 MB at 2.1M pts; the dense path generates
     # its coords in-program, which is exactly why it wins through the
@@ -353,13 +368,16 @@ def main():
         ii = np.arange(nx, dtype=np.int16)
         pts_int = np.stack(np.meshgrid(ii, ii, ii, indexing="ij"),
                            axis=-1).reshape(-1, 3)
+        # detect_dense=False pins the upload program (the complete cube
+        # would otherwise take the dense route and measure nothing here)
         gen.eval_points_fast(state, pts_int, c_variants[0],
-                             lattice_reso=nx - 1, **kwq)
+                             lattice_reso=nx - 1, detect_dense=False, **kwq)
         tl = np.inf
         for r in range(min(2, len(c_variants) - 1)):
             t0 = time.time()
             gen.eval_points_fast(state, pts_int, c_variants[r + 1],
-                                 lattice_reso=nx - 1, **kwq)
+                                 lattice_reso=nx - 1, detect_dense=False,
+                                 **kwq)
             tl = min(tl, time.time() - t0)
         scatter_detail["decode_scattered_lattice_s"] = round(tl, 4)
     except Exception as e:
@@ -1092,6 +1110,7 @@ def main():
             "decode_int8_s": round(t_decode_int8, 4),
             "decode_module_s": round(t_decode_module, 4),
             "decode_scattered_s": round(t_scatter, 4),
+            "decode_scattered_shuffled_s": round(t_scatter_shuf, 4),
             **scatter_detail,
             "decode_scattered_legacy_s": round(t_scatter_legacy, 4),
             "decode_first_s": round(t_decode_first, 2),

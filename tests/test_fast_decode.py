@@ -562,6 +562,142 @@ def test_lattice_encode_host_native_matches_numpy(rng):
         assert resid_bad > 1e3
 
 
+def test_full_grid_order_detector(rng):
+    """_full_grid_order must recognize exactly the two canonical complete
+    cube flattenings and nothing else."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    R1 = 5
+    ii = np.arange(R1, dtype=np.int16)
+    cube_ij = np.stack(np.meshgrid(ii, ii, ii, indexing="ij"),
+                       axis=-1).reshape(-1, 3)  # x slowest / z fastest
+    n = R1 ** 3
+    assert Generator3D._full_grid_order(
+        np.ascontiguousarray(cube_ij.T), n, R1) is True
+    cube_xf = cube_ij[:, ::-1]  # x fastest (dense-internal order)
+    assert Generator3D._full_grid_order(
+        np.ascontiguousarray(cube_xf.T), n, R1) is False
+    # permutation, subset, off-by-one value: all rejected
+    perm = cube_ij[rng.permutation(n)]
+    assert Generator3D._full_grid_order(
+        np.ascontiguousarray(perm.T), n, R1) is None
+    assert Generator3D._full_grid_order(
+        np.ascontiguousarray(cube_ij[:-1].T), n - 1, R1) is None
+    tweak = cube_ij.copy()
+    tweak[n // 2, 1] += 1
+    assert Generator3D._full_grid_order(
+        np.ascontiguousarray(tweak.T), n, R1) is None
+
+
+def test_eval_points_full_grid_dense_route(rng):
+    """Complete-cube f32 query sets through the scattered API must take
+    the zero-upload dense route (no scatter program compiled) and return
+    logits identical to the dense decode in the caller's point order —
+    for both canonical orders, with gating, with int8 transfer, through
+    the explicit-lattice input mode, and above the slice limit. Shuffled
+    cubes must keep the compact-coord scattered path with equal results."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    box = 1 + gen.padding
+    nx = 9
+    ii = np.arange(nx)
+    cube_ij = np.stack(np.meshgrid(ii, ii, ii, indexing="ij"),
+                       axis=-1).reshape(-1, 3)
+    coords_ij = (box * (cube_ij.astype(np.float64) / (nx - 1) - 0.5)
+                 ).astype(np.float32)
+    dense = gen.eval_points_dense(state, nx, c_planes,
+                                  transfer_dtype=jnp.float32)  # x-slowest
+    got = gen.eval_points(state, coords_ij, c_planes,
+                          transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(got, dense, atol=1e-5)
+    # the dense route really was taken: no scatter bucket registered
+    assert not gen._buckets_used, gen._buckets_used
+
+    # x-fastest (dense-internal) order
+    coords_xf = coords_ij[:, ::-1].copy()
+    got_xf = gen.eval_points(state, coords_xf, c_planes,
+                             transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        got_xf, dense.reshape(nx, nx, nx).transpose(2, 1, 0).reshape(-1),
+        atol=1e-5)
+    assert not gen._buckets_used
+
+    # shuffled cube: not a canonical order → scattered path, same values
+    perm = rng.permutation(nx ** 3)
+    got_perm = gen.eval_points(state, coords_ij[perm], c_planes,
+                               transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(got_perm, got[perm], atol=1e-5)
+    assert gen._buckets_used  # the scattered program DID run here
+
+    # gating + int8 transfer through the dense route
+    gate_pts = jnp.asarray(rng.uniform(-0.3, 0.3, (5, 8, 3)), jnp.float32)
+    gate_feat = jnp.asarray(rng.standard_normal((5, 8)), jnp.float32)
+    gate_valid = jnp.asarray(rng.random((5, 8)) > 0.3)
+    ref_g = gen.eval_points_dense(state, nx, c_planes, "contact", gate_pts,
+                                  gate_feat, gate_valid,
+                                  transfer_dtype=jnp.float32)
+    got_g = gen.eval_points(state, coords_ij, c_planes, "contact", gate_pts,
+                            gate_feat, gate_valid,
+                            transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(got_g, ref_g, atol=1e-5)
+    q = gen.eval_points_fast(state, coords_ij, c_planes,
+                             transfer_dtype=jnp.int8)
+    step = np.abs(got).max() / 127.0
+    assert (np.abs(q - got) <= step * 1.01).all()
+
+    # explicit integer-lattice input mode detects the cube too...
+    got_int = gen.eval_points_fast(state, cube_ij.astype(np.int16),
+                                   c_planes, lattice_reso=nx - 1,
+                                   transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(got_int, got, atol=1e-5)
+    # ...unless the caller pins the upload path (the bench's A/B control)
+    gen_pin = Generator3D(model, resolution0=4, padding=0.1)
+    got_pin = gen_pin.eval_points_fast(state, cube_ij.astype(np.int16),
+                                       c_planes, lattice_reso=nx - 1,
+                                       transfer_dtype=jnp.float32,
+                                       detect_dense=False)
+    np.testing.assert_allclose(got_pin, got, atol=1e-5)
+    assert gen_pin._buckets_used  # the upload program really ran
+
+    # above the slice limit: the whole cube still goes dense in one piece
+    gen2 = Generator3D(model, resolution0=4, padding=0.1)
+    gen2.scatter_slice_points = 256  # far below nx³ = 729
+    got_big = gen2.eval_points(state, coords_ij, c_planes,
+                               transfer_dtype=jnp.float32)
+    np.testing.assert_allclose(got_big, dense, atol=1e-5)
+    assert not gen2._buckets_used
+
+
+def test_generator_transfer_dtype_knob(rng):
+    """generation.transfer_dtype must validate eagerly and thread through
+    the generate pipelines (MISE here): 'int8' results stay within one
+    quantization step of the exact path."""
+    import pytest
+
+    from vtaco_tpu.generate.generator import Generator3D
+    from vtaco_tpu.generate.mise import multires_decode
+
+    model, c_planes, state, _ = _setup(rng)
+    with pytest.raises(ValueError):
+        Generator3D(model, transfer_dtype="float16")
+
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    gen8 = Generator3D(model, resolution0=4, padding=0.1,
+                       transfer_dtype="int8")
+    assert gen8.transfer_dtype == jnp.int8
+    # steps=0 pins the comparison to the dense level (refinement sets can
+    # legitimately diverge when borderline voxels quantize across the
+    # threshold)
+    v, _ = multires_decode(gen, state, c_planes, 8, 0, 0.0)
+    v8, _ = multires_decode(gen8, state, c_planes, 8, 0, 0.0)
+    step = np.abs(v).max() / 127.0
+    # v carries bf16 transfer rounding (≤0.5 step at these magnitudes),
+    # v8 int8 quantization (≤0.5 step): allow both
+    assert np.abs(v8 - v).max() <= step * 1.6
+
+
 def test_eval_points_fast_coord_quant(rng):
     """uint16-quantized coord upload: logits within the error implied by
     an ≤8.4e-6 world-unit coordinate perturbation (finite-difference

@@ -63,6 +63,7 @@ class Generator3D:
         matmul_precision="highest",
         mc_level="midpoint",
         use_pallas="auto",
+        transfer_dtype="bfloat16",
     ):
         """``matmul_precision``: precision context for the encoder/decoder
         applies ('highest' preserves the package default for metric parity;
@@ -82,7 +83,14 @@ class Generator3D:
         trunk (ops/pallas/decode.py). 'auto' (default) enables it on the
         TPU backend only — measured +22%/+24% device decode throughput at
         128³/256³ on v5e vs the XLA trunk (docs/DESIGN.md § Pallas
-        verdict); CPU/GPU and leaky-ReLU decoders use the XLA trunk."""
+        verdict); CPU/GPU and leaky-ReLU decoders use the XLA trunk.
+
+        ``transfer_dtype``: device→host dtype for occupancy-logit
+        transfers in the generate_* pipelines ('bfloat16' default,
+        'float32', or 'int8' — scale-quantized max|logit|/127, quarter
+        payload; ample for marching cubes' iso-crossing interpolation
+        and measured ~20% faster single-object decode through a thin
+        host link — docs/DESIGN.md § transfer budget)."""
         self.model = model
         self.matmul_precision = matmul_precision
         self._apply_cache = {}
@@ -114,6 +122,14 @@ class Generator3D:
                 f"got {use_pallas!r}"
             )
         self.use_pallas = use_pallas
+        _td = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+               "int8": jnp.int8}
+        if transfer_dtype not in _td:
+            raise ValueError(
+                "generation.transfer_dtype must be one of "
+                f"{sorted(_td)}; got {transfer_dtype!r}"
+            )
+        self.transfer_dtype = _td[transfer_dtype]
         self.resolution0 = resolution0
         self.upsampling_steps = upsampling_steps
         self.padding = padding
@@ -210,6 +226,7 @@ class Generator3D:
             **{"matmul_precision": gen.get("matmul_precision", "highest"),
                "mc_level": gen.get("mc_level", "midpoint"),
                "use_pallas": gen.get("use_pallas", "auto"),
+               "transfer_dtype": gen.get("transfer_dtype", "bfloat16"),
                # same source of truth as the trainer's contact sampling
                "legacy_gt_depth":
                    cfg["training"].get("legacy_gt_depth", True),
@@ -629,11 +646,88 @@ class Generator3D:
             out[:, :n] = np.where(np.isfinite(r), r, 0)
             return out, resid
 
+    @staticmethod
+    def _full_grid_order(pts_cn, n, R1):
+        """Is the (3, ≥n) integer lattice array exactly the complete R1³
+        cube in a canonical flattening? Returns ``True`` for x-slowest /
+        z-fastest (``np.meshgrid(..., indexing='ij')`` / the reference's
+        make_3d_grid order, src/common.py), ``False`` for the dense
+        path's internal x-fastest order, ``None`` for anything else
+        (subset, permutation, other axis order). Cheap spot checks on the
+        fastest axis reject non-matches before the full O(N) verify."""
+        if n != R1 ** 3:  # a truncated cube still matches arange(n)
+            return None
+        x = pts_cn[0, :n]
+        y = pts_cn[1, :n]
+        z = pts_cn[2, :n]
+        m = min(R1, n)
+        head = np.arange(m, dtype=pts_cn.dtype)
+        for fast_axis, xmajor in ((z, True), (x, False)):
+            if not np.array_equal(fast_axis[:m], head):
+                continue
+            a, b = (x, z) if xmajor else (z, x)
+            f = (a.astype(np.int64) * R1 + y) * R1 + b
+            if np.array_equal(f, np.arange(n, dtype=np.int64)):
+                return xmajor
+        return None
+
+    def _eval_points_dense_ordered(self, state, nx, xmajor, c, gating,
+                                   gate_pts, gate_feat, gate_valid,
+                                   transfer_dtype, dtype=jnp.float32,
+                                   use_pallas=None):
+        """Dense nx³ decode finalized to host f32 logits in the caller's
+        flattening (``xmajor``, see _full_grid_order) — the zero-upload
+        backend for complete-cube query sets arriving through the
+        scattered API (eval_points / eval_points_fast)."""
+        args_t = self._dense_fast_args(state, nx, c, gating, gate_pts,
+                                       gate_feat, gate_valid, dtype,
+                                       use_pallas)
+        td = jnp.dtype(transfer_dtype)
+        td = "int8" if td == jnp.dtype(jnp.int8) else td  # scaled mode
+        out = self._decode_dense_fast(*args_t, out_dtype=td,
+                                      out_xmajor=xmajor)
+        if td == "int8":
+            q, scale = out
+            return np.asarray(q).astype(np.float32) * float(scale)
+        return np.asarray(out).astype(np.float32)
+
+    def _try_full_grid(self, state, pf, c, gating, gate_pts, gate_feat,
+                       gate_valid, transfer_dtype, dtype, use_pallas):
+        """Detect complete-cube f32 query sets — the reference's own
+        eval_points callers pass exactly these (make_3d_grid dense
+        requests, generation.py:338-383) — and decode them through the
+        separable dense path: coords are synthesized IN-PROGRAM, so the
+        (3, N) coordinate upload (the scattered path's dominant cost
+        through a thin host↔device link) disappears entirely. Returns
+        host (N,) f32 logits in the caller's point order, or None if the
+        set isn't a canonical complete cube (caller falls back to the
+        compact-coord scattered path)."""
+        n = len(pf)
+        if n < 8 or not np.issubdtype(pf.dtype, np.floating):
+            return None
+        R1 = int(round(n ** (1 / 3)))
+        if R1 ** 3 != n or not 2 <= R1 <= 4097:
+            return None
+        box = 1 + self.padding
+        # encode directly at the implied reso — verify-or-reject, so a
+        # wrong guess costs one ~15 ms/2.1M-pt host pass, never wrong
+        # results (same contract as the sampled estimate)
+        cand, resid = self._lattice_encode_host(pf, box, R1 - 1, n)
+        if resid > 1e-3:
+            return None
+        xmajor = self._full_grid_order(cand, n, R1)
+        if xmajor is None:
+            return None
+        return self._eval_points_dense_ordered(
+            state, R1, xmajor, c, gating, gate_pts, gate_feat, gate_valid,
+            transfer_dtype, dtype=dtype, use_pallas=use_pallas)
+
     def eval_points_fast(self, state, pointsf, c, gating="none",
                          gate_pts=None, gate_feat=None, gate_valid=None,
                          transfer_dtype=jnp.bfloat16, dtype=jnp.float32,
                          use_pallas=None, lattice_reso=None,
-                         coord_quant=False, detect_lattice=True):
+                         coord_quant=False, detect_lattice=True,
+                         detect_dense=True):
         """Scattered decode over (N, 3) host points through the
         channels-first fast trunk (Pallas on TPU): ONE dispatch — gather
         interpolation + (fused) gating + MLP — and one ``transfer_dtype``
@@ -650,7 +744,11 @@ class Generator3D:
         detected (sampled denominator estimate + fused native
         convert/verify pass) and take the compact upload automatically;
         points within 1e-3·(box/R) of a node snap to it, anything else
-        keeps the exact f32 path."""
+        keeps the exact f32 path. ``detect_dense`` (default): query sets
+        that are a COMPLETE cube in a canonical order — exactly what the
+        reference's make_3d_grid callers pass through this API
+        (generation.py:338-383) — skip the coordinate upload entirely and
+        decode through the separable dense path (_try_full_grid)."""
         if use_pallas is None:
             use_pallas = self._pallas_enabled()
         if gate_pts is None:
@@ -671,6 +769,12 @@ class Generator3D:
         pts = None
         if (lattice_reso is None and not coord_quant and detect_lattice
                 and np.issubdtype(pf.dtype, np.floating)):
+            if detect_dense:
+                out = self._try_full_grid(
+                    state, pf, c, gating, gate_pts, gate_feat, gate_valid,
+                    transfer_dtype, dtype, use_pallas)
+                if out is not None:
+                    return out
             reso = self._estimate_lattice_reso(pf, box)
             if reso is not None:
                 sdt = "u8" if reso <= 255 else "i16"
@@ -683,6 +787,15 @@ class Generator3D:
             pass
         elif lattice_reso is not None:
             li = pf
+            if (detect_dense and np.issubdtype(li.dtype, np.integer)
+                    and n == (lattice_reso + 1) ** 3):
+                xm = self._full_grid_order(
+                    np.ascontiguousarray(li.T), n, lattice_reso + 1)
+                if xm is not None:
+                    return self._eval_points_dense_ordered(
+                        state, lattice_reso + 1, xm, c, gating, gate_pts,
+                        gate_feat, gate_valid, transfer_dtype, dtype=dtype,
+                        use_pallas=use_pallas)
             u8 = (lattice_reso <= 255 and li.size
                   and li.min() >= 0 and li.max() <= 255)
             npad = self._sticky_bucket(
@@ -758,6 +871,17 @@ class Generator3D:
                     state, pointsf, c, gating, gate_pts, gate_feat,
                     gate_valid, transfer_dtype=transfer_dtype,
                 )
+            # complete-cube query sets above the slice limit (e.g. a full
+            # 256³ grid through this API) go through the separable dense
+            # path whole: no coord upload, no (N, 8C) gather intermediate,
+            # one dispatch (the dense path's memory scales with nx³·C)
+            pf = np.asarray(pointsf)
+            if np.issubdtype(pf.dtype, np.floating):
+                out = self._try_full_grid(
+                    state, pf, c, gating, gate_pts, gate_feat, gate_valid,
+                    transfer_dtype, jnp.float32, None)
+                if out is not None:
+                    return out
             # bound the device intermediates: the fast path's corner-packed
             # row-take materializes (N, 8C) f32 (~17 GB in one piece at
             # 256³) — slice into lim-point fast decodes, one dispatch each
@@ -1231,7 +1355,8 @@ class Generator3D:
                 gate_valid = touch[0]
 
         values = self.eval_points_dense(
-            state, nx, c, gating, gate_pts, gate_feat, gate_valid
+            state, nx, c, gating, gate_pts, gate_feat, gate_valid,
+            transfer_dtype=self.transfer_dtype,
         )
         value_grid = values.reshape(nx, nx, nx)
 

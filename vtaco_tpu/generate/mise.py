@@ -228,7 +228,8 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
     # level 0: dense decode at (reso0+1)³ corners
     n0 = resolution0 + 1
     values0 = generator.eval_points_dense(
-        state, n0, c, gating, gate_pts, gate_feat, gate_valid
+        state, n0, c, gating, gate_pts, gate_feat, gate_valid,
+        transfer_dtype=generator.transfer_dtype,
     ).reshape(n0, n0, n0)
     if threshold is None:
         threshold = float(values0.mean())
@@ -252,11 +253,13 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
             vals = generator.eval_points_fast(
                 state, pts, c, gating, gate_pts, gate_feat, gate_valid,
                 lattice_reso=mg.resolution,
+                transfer_dtype=generator.transfer_dtype,
             ).astype(np.float32)
         else:
             coords = grid_to_coords(pts.astype(np.float32), mg.resolution)
             vals = generator.eval_points(
-                state, coords, c, gating, gate_pts, gate_feat, gate_valid
+                state, coords, c, gating, gate_pts, gate_feat, gate_valid,
+                transfer_dtype=generator.transfer_dtype,
             ).astype(np.float32)
         mg.update(pts, vals)
 
