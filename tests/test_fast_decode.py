@@ -795,3 +795,67 @@ def test_decode_dense_batched_lax_map_path(rng):
         gen2.batched_vmap_limit = 1  # force the lax.map branch
         got = gen2.decode_dense_batched(state, 8, cB, transfer_dtype=td)
         np.testing.assert_array_equal(got, ref, err_msg=str(td))
+
+
+def test_legacy_paths_int8_transfer_coerces(rng):
+    """The legacy (fast=False / crop-mode) decode paths don't implement the
+    fast paths' scaled-int8 quantization; with transfer_dtype=int8 they
+    must coerce to bfloat16 instead of raw-truncating logits to garbage
+    (regression: crop-mode MISE passes generator.transfer_dtype into
+    eval_points, which forces the legacy path)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    gen.points_batch_size = 64
+
+    exact = gen.eval_points_dense(state, 9, c_planes, fast=False,
+                                  transfer_dtype=jnp.float32)
+    got = gen.eval_points_dense(state, 9, c_planes, fast=False,
+                                transfer_dtype=jnp.int8)
+    np.testing.assert_allclose(got, exact, atol=0.05, rtol=0.02)  # bf16 res
+
+    pts = rng.uniform(-0.5, 0.5, (150, 3)).astype(np.float32)
+    exact = gen.eval_points(state, pts, c_planes, fast=False,
+                            transfer_dtype=jnp.float32)
+    got = gen.eval_points(state, pts, c_planes, fast=False,
+                          transfer_dtype=jnp.int8)
+    np.testing.assert_allclose(got, exact, atol=0.05, rtol=0.02)
+    # single-dispatch legacy branch (n > points_batch_size handled above;
+    # also exercise the per-chunk loop via a short input)
+    got_short = gen.eval_points(state, pts[:32], c_planes, fast=False,
+                                transfer_dtype=jnp.int8)
+    np.testing.assert_allclose(got_short, exact[:32], atol=0.05, rtol=0.02)
+
+    B = 2
+    cB = {k: jnp.concatenate([v * (1 + 0.2 * b) for b in range(B)])
+          for k, v in c_planes.items()}
+    pts_b = rng.uniform(-0.5, 0.5, (B, 70, 3)).astype(np.float32)
+    exact = gen.decode_points_batched(state, pts_b, cB, fast=False,
+                                      transfer_dtype=jnp.float32)
+    got = gen.decode_points_batched(state, pts_b, cB, fast=False,
+                                    transfer_dtype=jnp.int8)
+    np.testing.assert_allclose(got, exact, atol=0.05, rtol=0.02)
+
+
+def test_lattice_reso_estimate_samples_all_axes(rng):
+    """Regression: the sampled estimator must draw whole (x, y, z) rows.
+    The old flat-array stride could be a multiple of 3 (e.g. N=196608),
+    sampling only the x column — lattice structure on y/z was invisible
+    and genuine lattices missed the compact upload."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, _, _, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    box = 1 + gen.padding
+    n = 196608  # old stride: 3*196608//192 = 3072, a multiple of 3
+    ii = np.zeros((n, 3), np.int64)
+    ii[:, 0] = 0                                   # x constant
+    ii[:, 1] = rng.integers(0, 18, n)              # y on a reso-17 lattice
+    ii[:, 2] = rng.integers(0, 18, n) * 1          # z too
+    coords = (box * (ii.astype(np.float64) / 17 - 0.5)).astype(np.float32)
+    est = gen._estimate_lattice_reso(coords, box)
+    assert est is not None and 17 % est == 0 or (est or 0) % 17 == 0, est
+    # and the encode at the estimate must verify
+    cand, resid = gen._lattice_encode_host(coords, box, est, n)
+    assert resid <= 1e-3, (est, resid)

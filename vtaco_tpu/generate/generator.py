@@ -39,6 +39,18 @@ from vtaco_tpu.train import contact as C
 from vtaco_tpu.train.trainer import CAM_FOV, DEPTH_REST
 
 
+def _legacy_transfer_dtype(transfer_dtype):
+    """Transfer dtype for the legacy decode paths. The fast paths implement
+    int8 as SCALED quantization (max|logit|/127 computed in-program); the
+    legacy paths apply a raw astype, which for int8 would truncate logits
+    to garbage — coerce to bfloat16 there instead (same payload class,
+    value-correct)."""
+    td = jnp.dtype(transfer_dtype)
+    if td == jnp.dtype(jnp.int8):
+        return jnp.dtype(jnp.bfloat16)
+    return td
+
+
 class Generator3D:
     def __init__(
         self,
@@ -532,7 +544,8 @@ class Generator3D:
         )
         if return_device:
             return logits
-        return np.asarray(logits.astype(transfer_dtype)).astype(np.float32)
+        td = _legacy_transfer_dtype(transfer_dtype)
+        return np.asarray(logits.astype(td)).astype(np.float32)
 
     def _dense_fast_args(self, state, nx, c, gating, gate_pts, gate_feat,
                          gate_valid, dtype, use_pallas):
@@ -604,10 +617,13 @@ class Generator3D:
         from fractions import Fraction
         from math import gcd
 
-        s = np.asarray(p, np.float64).reshape(-1)
+        s = np.asarray(p, np.float64).reshape(-1, 3)
         if s.size == 0:
             return None
-        vals = s[:: max(1, s.size // 192)][:192] / box + 0.5
+        # sample whole ROWS so every axis is represented: a flat-array
+        # stride that lands on a multiple of 3 (e.g. N=196608) would
+        # sample the x column only and miss finer structure on y/z
+        vals = (s[:: max(1, len(s) // 64)][:64] / box + 0.5).reshape(-1)
         # negated in-range form: NaN/inf fail the comparison (a plain
         # min()<lo check is False for NaN and would slip through into
         # Fraction(), which raises on non-finite input)
@@ -914,7 +930,7 @@ class Generator3D:
                 variables, jnp.asarray(pts.reshape(k, bs, 3)), c,
                 gate_pts, gate_feat, gate_valid, gating,
             )
-            host = np.asarray(logits.astype(transfer_dtype))
+            host = np.asarray(logits.astype(_legacy_transfer_dtype(transfer_dtype)))
             return host.astype(np.float32).reshape(-1)[:n]
         outs = []
         for i in range(0, n, bs):
@@ -949,7 +965,9 @@ class Generator3D:
             # result precision depends on the argument, not the input size
             out_i = logits[: chunk.shape[0] - pad if pad else None]
             outs.append(
-                np.asarray(out_i.astype(transfer_dtype)).astype(np.float32)
+                np.asarray(
+                    out_i.astype(_legacy_transfer_dtype(transfer_dtype))
+                ).astype(np.float32)
             )
         return np.concatenate(outs, axis=0)
 
@@ -1285,7 +1303,9 @@ class Generator3D:
                 stacked, NamedSharding(device_mesh, P(None, "data"))
             )
         out = fn_jit(variables, stacked, c_batched)
-        host = np.asarray(out.astype(transfer_dtype)).astype(np.float32)
+        host = np.asarray(
+            out.astype(_legacy_transfer_dtype(transfer_dtype))
+        ).astype(np.float32)
         return host.transpose(1, 0, 2).reshape(B, k * bs)[:, :M]
 
     # ------------------------------------------------------------------

@@ -291,7 +291,8 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
 
     n0 = resolution0 + 1
     vals0 = generator.decode_dense_batched(
-        state, n0, c_batched, device_mesh=device_mesh
+        state, n0, c_batched, device_mesh=device_mesh,
+        transfer_dtype=generator.transfer_dtype,
     )
     if thresholds is None:
         thresholds = [float(vals0[b].mean()) for b in range(B)]
@@ -323,6 +324,7 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
             vals = generator.decode_points_batched(
                 state, coords, c_batched, device_mesh=device_mesh,
                 lattice_reso=mgs[0].resolution,
+                transfer_dtype=generator.transfer_dtype,
             )
         else:
             coords = np.zeros((B, M, 3), np.float32)
@@ -332,7 +334,8 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
                         p.astype(np.float32) / mgs[b].resolution - 0.5
                     )
             vals = generator.decode_points_batched(
-                state, coords, c_batched, device_mesh=device_mesh
+                state, coords, c_batched, device_mesh=device_mesh,
+                transfer_dtype=generator.transfer_dtype,
             )
         for b, p in enumerate(ptss):
             if len(p):
