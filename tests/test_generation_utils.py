@@ -70,6 +70,69 @@ def test_mise_extractor_refines_boundary():
     assert (got == want).mean() > 0.999
 
 
+def test_mise_native_matches_numpy():
+    """The C++ bookkeeping engine (native/mise.cpp) replays the numpy
+    protocol bit-exactly: same queries (order included), same values,
+    same known mask, at every level."""
+    import pytest
+
+    from vtaco_tpu.generate.mise import (
+        MultiGridExtractorNumpy,
+    )
+
+    try:
+        from vtaco_tpu.generate.mise import MultiGridExtractorNative
+
+        nat = MultiGridExtractorNative(8, 0.1, invert=False)
+    except Exception:
+        pytest.skip("native mise engine unavailable (no g++)")
+
+    ref = MultiGridExtractorNumpy(8, 0.1, invert=False)
+    r = np.random.default_rng(3)
+
+    def field(pts, reso):
+        coords = pts / reso - 0.5
+        base = 0.38 - np.linalg.norm(coords, axis=1)
+        noise = r.standard_normal(len(pts)) * 0.01
+        return (base + noise).astype(np.float32)
+
+    for step in range(3):
+        if step:
+            ref.increase_resolution()
+            nat.increase_resolution()
+            assert nat.resolution == ref.resolution
+        p_ref = ref.query()
+        p_nat = nat.query()
+        np.testing.assert_array_equal(p_nat, p_ref)
+        vals = field(p_ref, ref.resolution)
+        ref.update(p_ref, vals)
+        nat.update(p_nat, vals)
+        np.testing.assert_array_equal(nat.value_known, ref.value_known)
+        known = ref.value_known
+        np.testing.assert_array_equal(
+            nat.values[known], ref.values[known].astype(np.float32)
+        )
+    # update_queried (query-order values, no points re-pass) equals update
+    nat2 = MultiGridExtractorNative(8, 0.1, invert=False)
+    r = np.random.default_rng(3)
+    for step in range(3):
+        if step:
+            nat2.increase_resolution()
+        pts = nat2.query()
+        nat2.update_queried(field(pts, nat2.resolution))
+    np.testing.assert_array_equal(nat2.values, nat.values)
+    np.testing.assert_array_equal(nat2.value_known, nat.value_known)
+    # query_cn: channels-first int16 layout, last-point padding
+    nat3 = MultiGridExtractorNative(4, 0.0, invert=False)
+    pts = nat3.query()
+    cn, n = nat3.query_cn(len(pts) + 5)
+    assert n == len(pts)
+    np.testing.assert_array_equal(cn[:, :n].T, pts.astype(np.int16))
+    np.testing.assert_array_equal(
+        cn[:, n:], np.repeat(cn[:, n - 1 : n], 5, axis=1)
+    )
+
+
 def test_voxelgrid_roundtrip(rng):
     from vtaco_tpu.utils.voxels import (
         VoxelGrid,

@@ -46,8 +46,8 @@ def _voxel_boundary(occ):
     return any_occ & ~all_occ
 
 
-class MultiGridExtractor:
-    """Active-voxel refinement bookkeeping (host side).
+class MultiGridExtractorNumpy:
+    """Active-voxel refinement bookkeeping (host side), numpy reference.
 
     Same protocol as the reference (src/utils/mesh.py:7-84):
       query() → integer grid locations needing evaluation;
@@ -56,6 +56,11 @@ class MultiGridExtractor:
     Note the reference's occupancies use ``values < threshold`` — its
     values are distances; for occupancy logits pass ``invert=False`` to use
     ``values >= threshold``.
+
+    This is the parity oracle for the native engine below; the full-grid
+    numpy passes (float64 ``np.repeat`` upsample especially) cost ~17 s
+    per 8-object 256³ batched-MISE flight on this host's single core, so
+    production traffic runs through :class:`MultiGridExtractor`.
     """
 
     def __init__(self, resolution0, threshold, invert=True):
@@ -110,6 +115,120 @@ class MultiGridExtractor:
     @property
     def voxel_empty(self):
         return ~_voxel_boundary(self.occupancies)
+
+
+class MultiGridExtractorNative:
+    """Native-engine MultiGridExtractor (vtaco_tpu/native/mise.cpp).
+
+    Drop-in replacement for :class:`MultiGridExtractorNumpy` — identical
+    query order (numpy.where C-order) and values (every value the
+    protocol holds is an f32 decode output or a copy, so the f32 native
+    grid matches the f64 numpy grid bit-exactly; parity test
+    tests/test_generation_utils.py). Extras for the serving paths:
+    ``update_queried(values)`` applies values in query order without
+    re-passing points, and ``query_cn(npad)`` writes the scattered
+    decoder's (3, npad) int16 layout directly (pad = last real point).
+    """
+
+    def __init__(self, resolution0, threshold, invert=True):
+        import ctypes
+
+        from vtaco_tpu.native import mise as _native_mise
+
+        self._lib = _native_mise._ensure()
+        self._ct = ctypes
+        self.threshold = float(threshold)
+        self.invert = bool(invert)
+        self._h = self._lib.vtaco_mise_new(
+            int(resolution0), ctypes.c_float(self.threshold),
+            int(self.invert),
+        )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.vtaco_mise_free(h)
+            self._h = None
+
+    @property
+    def resolution(self):
+        return int(self._lib.vtaco_mise_resolution(self._h))
+
+    def query(self):
+        n = self._lib.vtaco_mise_query_count(self._h)
+        out = np.empty((n, 3), np.int32)
+        if n:
+            self._lib.vtaco_mise_query_copy(
+                self._h, out.ctypes.data_as(self._ct.POINTER(
+                    self._ct.c_int32)),
+            )
+        return out
+
+    def query_cn(self, npad):
+        """(3, npad) int16 channels-first query layout + real count."""
+        out = np.zeros((3, npad), np.int16)
+        n = self._lib.vtaco_mise_query_copy_cn(
+            self._h, out.ctypes.data_as(self._ct.POINTER(self._ct.c_int16)),
+            npad,
+        )
+        return out, int(n)
+
+    def update(self, points, values):
+        pts = np.ascontiguousarray(points, np.int32)
+        vals = np.ascontiguousarray(values, np.float32)
+        self._lib.vtaco_mise_update(
+            self._h, pts.ctypes.data_as(self._ct.POINTER(self._ct.c_int32)),
+            vals.ctypes.data_as(self._ct.POINTER(self._ct.c_float)),
+            len(vals),
+        )
+
+    def update_queried(self, values):
+        """Record values for the last query()'s points, in query order."""
+        vals = np.ascontiguousarray(values, np.float32)
+        self._lib.vtaco_mise_update_queried(
+            self._h, vals.ctypes.data_as(self._ct.POINTER(self._ct.c_float)),
+        )
+
+    def increase_resolution(self):
+        self._lib.vtaco_mise_increase(self._h)
+
+    @property
+    def values(self):
+        n = self.resolution + 1
+        out = np.empty((n, n, n), np.float32)
+        self._lib.vtaco_mise_values(
+            self._h, out.ctypes.data_as(self._ct.POINTER(self._ct.c_float)),
+        )
+        return out
+
+    @property
+    def value_known(self):
+        n = self.resolution + 1
+        out = np.empty((n, n, n), np.uint8)
+        self._lib.vtaco_mise_known(
+            self._h, out.ctypes.data_as(self._ct.POINTER(self._ct.c_uint8)),
+        )
+        return out.astype(bool)
+
+    @property
+    def occupancies(self):
+        if self.invert:
+            return self.values < self.threshold
+        return self.values >= self.threshold
+
+
+def _pick_extractor():
+    """Native engine when g++ is available, numpy protocol otherwise."""
+    try:
+        from vtaco_tpu.native import mise as _native_mise
+
+        _native_mise._ensure()
+        return MultiGridExtractorNative
+    except Exception:
+        return MultiGridExtractorNumpy
+
+
+MultiGridExtractor = _pick_extractor()
 
 
 class DelaunayMeshExtractor:
@@ -202,7 +321,7 @@ class DelaunayMeshExtractor:
 
 def multires_decode(generator, state, c, resolution0, upsampling_steps,
                     threshold, gating="none", gate_pts=None, gate_feat=None,
-                    gate_valid=None, chunk=65536):
+                    gate_valid=None, chunk=65536, stats=None):
     """Coarse-to-fine occupancy evaluation → final dense value grid.
 
     Level 0 uses the gather-free dense decode at (resolution0+1)³; each
@@ -218,29 +337,46 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
     caller has no calibrated level, e.g. with untrained weights whose
     logit range is unknown. ``chunk`` is kept for API compatibility; the
     refinement now runs through Generator3D.eval_points (size-bucketed
-    single dispatch per level).
+    single dispatch per level). ``stats`` (optional dict) receives a
+    wall-time split: ``coarse_s`` (batched dense level-0 incl. transfer),
+    ``decode_s`` (refinement decode dispatches incl. upload+fetch),
+    ``host_s`` (grid bookkeeping on this host), ``query_pts`` per level.
     """
+    import time as _time
+
     box_size = 1 + generator.padding
+    st = stats if stats is not None else {}
+    st.setdefault("coarse_s", 0.0)
+    st.setdefault("decode_s", 0.0)
+    st.setdefault("host_s", 0.0)
+    st.setdefault("query_pts", [])
 
     def grid_to_coords(pts_int, reso):
         return box_size * (pts_int / reso - 0.5)
 
     # level 0: dense decode at (reso0+1)³ corners
     n0 = resolution0 + 1
+    t0 = _time.time()
     values0 = generator.eval_points_dense(
         state, n0, c, gating, gate_pts, gate_feat, gate_valid,
         transfer_dtype=generator.transfer_dtype,
     ).reshape(n0, n0, n0)
+    st["coarse_s"] += _time.time() - t0
     if threshold is None:
         threshold = float(values0.mean())
+    t0 = _time.time()
     mg = MultiGridExtractor(resolution0, threshold, invert=False)
     # dense grid spans ±0.5*box at indices 0..n0-1 == corners 0..reso0
     pts0 = mg.query()
     mg.update(pts0, values0[pts0[:, 0], pts0[:, 1], pts0[:, 2]])
+    st["host_s"] += _time.time() - t0
 
     for _ in range(upsampling_steps):
+        t0 = _time.time()
         mg.increase_resolution()
         pts = mg.query()
+        st["host_s"] += _time.time() - t0
+        st["query_pts"].append(int(len(pts)))
         if len(pts) == 0:
             continue
         # one dispatch per level through the scattered fast path (gather
@@ -249,6 +385,7 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
         # ``box·(p/reso − 0.5)`` are computed in-program — matches
         # grid_to_coords to f32 roundoff, half the upload. The legacy
         # per-chunk loop costs a round trip per `chunk` points.
+        t0 = _time.time()
         if generator.input_type != "pointcloud_crop":
             vals = generator.eval_points_fast(
                 state, pts, c, gating, gate_pts, gate_feat, gate_valid,
@@ -261,13 +398,20 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
                 state, coords, c, gating, gate_pts, gate_feat, gate_valid,
                 transfer_dtype=generator.transfer_dtype,
             ).astype(np.float32)
+        st["decode_s"] += _time.time() - t0
+        t0 = _time.time()
         mg.update(pts, vals)
+        st["host_s"] += _time.time() - t0
 
-    return mg.values, threshold
+    t0 = _time.time()
+    out = mg.values
+    st["host_s"] += _time.time() - t0
+    return out, threshold
 
 
 def multires_decode_batched(generator, state, c_batched, resolution0,
-                            upsampling_steps, thresholds, device_mesh=None):
+                            upsampling_steps, thresholds, device_mesh=None,
+                            stats=None):
     """Batched MISE: B objects refined in lockstep, one dispatch per stage.
 
     The serving-side counterpart of :func:`multires_decode` — the coarse
@@ -283,21 +427,33 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
     logit space), or None for per-object coarse-field means (see
     :func:`multires_decode`). Returns ``(grids, thresholds)``: a list of B
     value grids at the final resolution and the per-object levels used.
+    ``stats`` (optional dict) receives the same wall-time split as
+    :func:`multires_decode`.
     """
+    import time as _time
+
     import jax
 
     B = jax.tree.leaves(c_batched)[0].shape[0]
     box_size = 1 + generator.padding
+    st = stats if stats is not None else {}
+    st.setdefault("coarse_s", 0.0)
+    st.setdefault("decode_s", 0.0)
+    st.setdefault("host_s", 0.0)
+    st.setdefault("query_pts", [])
 
     n0 = resolution0 + 1
+    t0 = _time.time()
     vals0 = generator.decode_dense_batched(
         state, n0, c_batched, device_mesh=device_mesh,
         transfer_dtype=generator.transfer_dtype,
     )
+    st["coarse_s"] += _time.time() - t0
     if thresholds is None:
         thresholds = [float(vals0[b].mean()) for b in range(B)]
     elif np.isscalar(thresholds):
         thresholds = [float(thresholds)] * B
+    t0 = _time.time()
     mgs = []
     for b in range(B):
         mg = MultiGridExtractor(resolution0, thresholds[b], invert=False)
@@ -305,14 +461,18 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
         pts0 = mg.query()
         mg.update(pts0, v[pts0[:, 0], pts0[:, 1], pts0[:, 2]])
         mgs.append(mg)
+    st["host_s"] += _time.time() - t0
 
     for _ in range(upsampling_steps):
+        t0 = _time.time()
         ptss = []
         for mg in mgs:
             mg.increase_resolution()
             ptss.append(mg.query())
         M = max(len(p) for p in ptss)
+        st["query_pts"].append(int(M))
         if M == 0:
+            st["host_s"] += _time.time() - t0
             continue
         if generator.input_type != "pointcloud_crop":
             # int16 lattice upload (6 B/pt, exact-to-roundoff coords)
@@ -321,11 +481,14 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
             for b, p in enumerate(ptss):
                 if len(p):
                     coords[b, : len(p)] = p
+            st["host_s"] += _time.time() - t0
+            t0 = _time.time()
             vals = generator.decode_points_batched(
                 state, coords, c_batched, device_mesh=device_mesh,
                 lattice_reso=mgs[0].resolution,
                 transfer_dtype=generator.transfer_dtype,
             )
+            st["decode_s"] += _time.time() - t0
         else:
             coords = np.zeros((B, M, 3), np.float32)
             for b, p in enumerate(ptss):
@@ -333,12 +496,20 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
                     coords[b, : len(p)] = box_size * (
                         p.astype(np.float32) / mgs[b].resolution - 0.5
                     )
+            st["host_s"] += _time.time() - t0
+            t0 = _time.time()
             vals = generator.decode_points_batched(
                 state, coords, c_batched, device_mesh=device_mesh,
                 transfer_dtype=generator.transfer_dtype,
             )
+            st["decode_s"] += _time.time() - t0
+        t0 = _time.time()
         for b, p in enumerate(ptss):
             if len(p):
                 mgs[b].update(p, vals[b, : len(p)])
+        st["host_s"] += _time.time() - t0
 
-    return [mg.values for mg in mgs], thresholds
+    t0 = _time.time()
+    grids = [mg.values for mg in mgs]
+    st["host_s"] += _time.time() - t0
+    return grids, thresholds
