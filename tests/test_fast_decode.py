@@ -859,3 +859,59 @@ def test_lattice_reso_estimate_samples_all_axes(rng):
     # and the encode at the estimate must verify
     cand, resid = gen._lattice_encode_host(coords, box, est, n)
     assert resid <= 1e-3, (est, resid)
+
+
+def test_compact_serving_auto_defaults(rng):
+    """The 'auto' serving defaults resolve per backend: bf16 logits and
+    exact f32 coord uploads on CPU (where the parity suites run), int8
+    logits + uint16 non-lattice coords on TPU. The resolution is lazy
+    (a property), so one config serves both backends."""
+    from unittest import mock
+
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, _, _, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)  # auto/auto
+    assert gen.transfer_dtype == jnp.bfloat16  # CPU backend in tests
+    assert gen._coord_quant_enabled() is False
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert gen.transfer_dtype == jnp.int8
+        assert gen._coord_quant_enabled() is True
+    # pinned values override auto on any backend
+    pinned = Generator3D(model, transfer_dtype="float32", coord_quant=False)
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert pinned.transfer_dtype == jnp.float32
+        assert pinned._coord_quant_enabled() is False
+    import pytest
+
+    with pytest.raises(ValueError):
+        Generator3D(model, coord_quant="yes")
+
+
+def test_decode_points_batched_coord_quant(rng):
+    """Batched scattered decode with uint16 coord upload: same
+    finite-difference error contract as the single-object path, and
+    coord_quant + lattice input is rejected."""
+    import pytest
+
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    B, M = 3, 101
+    cB = {k: jnp.concatenate([v * (1 + 0.1 * b) for b in range(B)])
+          for k, v in c_planes.items()}
+    pts_b = rng.uniform(-0.5, 0.5, (B, M, 3)).astype(np.float32)
+    exact = gen.decode_points_batched(state, pts_b, cB,
+                                      transfer_dtype=jnp.float32)
+    q = gen.decode_points_batched(state, pts_b, cB,
+                                  transfer_dtype=jnp.float32,
+                                  coord_quant=True)
+    step = (1 + gen.padding) / 65535.0
+    pert = gen.decode_points_batched(state, pts_b + step, cB,
+                                     transfer_dtype=jnp.float32)
+    bound = np.abs(pert - exact).max() * 2 + 1e-6
+    assert np.abs(q - exact).max() <= bound
+    with pytest.raises(ValueError):
+        gen.decode_points_batched(state, np.zeros((B, 9, 3), np.int16), cB,
+                                  lattice_reso=16, coord_quant=True)

@@ -75,7 +75,8 @@ class Generator3D:
         matmul_precision="highest",
         mc_level="midpoint",
         use_pallas="auto",
-        transfer_dtype="bfloat16",
+        transfer_dtype="auto",
+        coord_quant="auto",
     ):
         """``matmul_precision``: precision context for the encoder/decoder
         applies ('highest' preserves the package default for metric parity;
@@ -98,11 +99,22 @@ class Generator3D:
         verdict); CPU/GPU and leaky-ReLU decoders use the XLA trunk.
 
         ``transfer_dtype``: device→host dtype for occupancy-logit
-        transfers in the generate_* pipelines ('bfloat16' default,
-        'float32', or 'int8' — scale-quantized max|logit|/127, quarter
+        transfers in the generate_* pipelines. 'auto' (default) serves
+        compact on TPU — 'int8' (scale-quantized max|logit|/127, quarter
         payload; ample for marching cubes' iso-crossing interpolation
         and measured ~20% faster single-object decode through a thin
-        host link — docs/DESIGN.md § transfer budget)."""
+        host link — docs/DESIGN.md § transfer budget) — and 'bfloat16'
+        on CPU/GPU where the parity suites run. Explicit 'bfloat16' /
+        'float32' / 'int8' pin it (metric paths should pin float32).
+
+        ``coord_quant``: host→device encoding for NON-lattice scattered
+        query uploads (eval_points / decode_points_batched). 'auto'
+        (default) quantizes world coords to uint16 on TPU — half the
+        f32 upload, error ≤ box/2¹⁶/2 ≈ 8.4e-6 world units — after the
+        lossless compact encodings (lattice/dense-cube detection) have
+        been tried; False pins exact f32 uploads, True forces uint16
+        even off-TPU. Lattice-structured inputs are unaffected (they
+        take the smaller exact uint8/int16 encoding either way)."""
         self.model = model
         self.matmul_precision = matmul_precision
         self._apply_cache = {}
@@ -134,14 +146,20 @@ class Generator3D:
                 f"got {use_pallas!r}"
             )
         self.use_pallas = use_pallas
-        _td = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
-               "int8": jnp.int8}
+        _td = {"auto": "auto", "bfloat16": jnp.bfloat16,
+               "float32": jnp.float32, "int8": jnp.int8}
         if transfer_dtype not in _td:
             raise ValueError(
                 "generation.transfer_dtype must be one of "
                 f"{sorted(_td)}; got {transfer_dtype!r}"
             )
-        self.transfer_dtype = _td[transfer_dtype]
+        self._transfer_dtype = _td[transfer_dtype]
+        if coord_quant not in ("auto", True, False):
+            raise ValueError(
+                "generation.coord_quant must be 'auto', true, or false; "
+                f"got {coord_quant!r}"
+            )
+        self.coord_quant = coord_quant
         self.resolution0 = resolution0
         self.upsampling_steps = upsampling_steps
         self.padding = padding
@@ -238,7 +256,8 @@ class Generator3D:
             **{"matmul_precision": gen.get("matmul_precision", "highest"),
                "mc_level": gen.get("mc_level", "midpoint"),
                "use_pallas": gen.get("use_pallas", "auto"),
-               "transfer_dtype": gen.get("transfer_dtype", "bfloat16"),
+               "transfer_dtype": gen.get("transfer_dtype", "auto"),
+               "coord_quant": gen.get("coord_quant", "auto"),
                # same source of truth as the trainer's contact sampling
                "legacy_gt_depth":
                    cfg["training"].get("legacy_gt_depth", True),
@@ -254,6 +273,24 @@ class Generator3D:
         if self.use_pallas == "auto":
             return jax.default_backend() == "tpu"
         return bool(self.use_pallas)
+
+    @property
+    def transfer_dtype(self):
+        """Resolved logit transfer dtype: 'auto' serves int8 on the TPU
+        backend (compact serving default) and bfloat16 elsewhere (the
+        CPU/GPU parity suites)."""
+        if self._transfer_dtype == "auto":
+            return (jnp.int8 if jax.default_backend() == "tpu"
+                    else jnp.bfloat16)
+        return self._transfer_dtype
+
+    def _coord_quant_enabled(self):
+        """Resolve the ``coord_quant`` setting for non-lattice scattered
+        uploads: 'auto' means TPU backend only (where the host↔device
+        link is the binding cost); the parity suites stay exact f32."""
+        if self.coord_quant == "auto":
+            return jax.default_backend() == "tpu"
+        return bool(self.coord_quant)
 
     # ------------------------------------------------------------------
     def _vars(self, state):
@@ -742,7 +779,7 @@ class Generator3D:
                          gate_pts=None, gate_feat=None, gate_valid=None,
                          transfer_dtype=jnp.bfloat16, dtype=jnp.float32,
                          use_pallas=None, lattice_reso=None,
-                         coord_quant=False, detect_lattice=True,
+                         coord_quant=None, detect_lattice=True,
                          detect_dense=True):
         """Scattered decode over (N, 3) host points through the
         channels-first fast trunk (Pallas on TPU): ONE dispatch — gather
@@ -753,9 +790,12 @@ class Generator3D:
         ``lattice_reso=R``: ``pointsf`` is an integer (N, 3) lattice-point
         array (world coords ``box·(p/R − 0.5)`` computed in-program —
         exact to f32 roundoff; uint8 upload at R ≤ 255, 3 B/pt, else
-        int16). ``coord_quant=True``: quantize world coords to uint16 on
+        int16). ``coord_quant``: quantize world coords to uint16 on
         the host (error ≤ 8.4e-6 world units, half the upload; for
-        tunnel-bound serving). ``detect_lattice`` (default): f32 inputs
+        tunnel-bound serving). ``True`` forces it (skips detection);
+        ``None`` (default) defers to the generator's setting — 'auto'
+        quantizes on TPU only, AFTER the lossless compact encodings
+        below have been tried. ``detect_lattice`` (default): f32 inputs
         that ARE a lattice — dense grids, MISE refinement levels — are
         detected (sampled denominator estimate + fused native
         convert/verify pass) and take the compact upload automatically;
@@ -783,6 +823,14 @@ class Generator3D:
         pf = np.asarray(pointsf)
         dt_name = jnp.dtype(dtype).name
         pts = None
+        if coord_quant is None:
+            # generator-level 'auto': lossy uint16 only as the FALLBACK
+            # for non-lattice f32 uploads — the lossless compact
+            # encodings (lattice / dense-cube) still get first refusal
+            coord_quant = False
+            quant_fallback = self._coord_quant_enabled()
+        else:
+            quant_fallback = False
         if (lattice_reso is None and not coord_quant and detect_lattice
                 and np.issubdtype(pf.dtype, np.floating)):
             if detect_dense:
@@ -819,7 +867,8 @@ class Generator3D:
                  dt_name), n)
             pts = np.zeros((3, npad), np.uint8 if u8 else np.int16)
             pts[:, :n] = li.astype(pts.dtype).T
-        elif coord_quant:
+        elif coord_quant or quant_fallback:
+            coord_quant = True  # static arg for the in-program dequant
             npad = self._sticky_bucket(
                 ("scatter", gating, "quant", dt_name), n)
             u = pf.astype(np.float32).T / box + 0.5
@@ -1168,7 +1217,8 @@ class Generator3D:
     # ------------------------------------------------------------------
     def decode_points_batched(self, state, pts_b, c_batched, device_mesh=None,
                               transfer_dtype=jnp.bfloat16, fast=None,
-                              use_pallas=None, lattice_reso=None):
+                              use_pallas=None, lattice_reso=None,
+                              coord_quant=None):
         """Batched scattered decode: (B, M, 3) host points against (B, ...)
         feature fields → (B, M) logits, all in ONE dispatch.
 
@@ -1184,6 +1234,12 @@ class Generator3D:
         :meth:`decode_dense_batched`). ``fast=False`` keeps the legacy
         (N, C)-layout chunked decode (lax.map of a vmap of the module
         decoder) for comparison/crops.
+
+        ``coord_quant``: uint16-quantize non-lattice uploads (same
+        contract as :meth:`eval_points_fast` — error ≤ 8.4e-6 world
+        units, half the f32 payload). ``None`` defers to the
+        generator's 'auto' setting (TPU only); lattice inputs are
+        unaffected (already compact and exact).
         """
         pts_b = np.asarray(pts_b, np.int16 if lattice_reso else np.float32)
         B, M = pts_b.shape[:2]
@@ -1191,6 +1247,11 @@ class Generator3D:
             fast = self.input_type != "pointcloud_crop"
         if lattice_reso is not None and not fast:
             raise ValueError("lattice_reso requires the fast path")
+        if coord_quant is None:
+            coord_quant = (lattice_reso is None and fast
+                           and self._coord_quant_enabled())
+        elif coord_quant and (lattice_reso is not None or not fast):
+            raise ValueError("coord_quant needs the fast non-lattice path")
         if fast:
             from vtaco_tpu.ops import fast_trunk as FT
 
@@ -1204,11 +1265,21 @@ class Generator3D:
             )
             mpad = self._sticky_bucket(
                 ("scatter_batched", B, lattice_reso is not None,
-                 jnp.dtype(transfer_dtype).name), M,
+                 bool(coord_quant), jnp.dtype(transfer_dtype).name), M,
             )
-            pts_cn = np.zeros((B, 3, mpad),
-                              np.int16 if lattice_reso else np.float32)
-            pts_cn[:, :, :M] = pts_b.transpose(0, 2, 1)
+            if lattice_reso is not None:
+                pdt = np.int16
+            elif coord_quant:
+                pdt = np.uint16
+            else:
+                pdt = np.float32
+            pts_cn = np.zeros((B, 3, mpad), pdt)
+            if coord_quant and lattice_reso is None:
+                box = 1 + self.padding
+                u = pts_b.transpose(0, 2, 1).astype(np.float32) / box + 0.5
+                pts_cn[:, :, :M] = np.round(np.clip(u, 0.0, 1.0) * 65535.0)
+            else:
+                pts_cn[:, :, :M] = pts_b.transpose(0, 2, 1)
             if 0 < M < mpad:
                 # pad with the last real point (not zeros) so the int8
                 # quantization scale reflects only real queries
@@ -1219,10 +1290,11 @@ class Generator3D:
             # reso rides as a traced scalar so every MISE level (and any
             # future resolution) reuses ONE compiled program per shape
             key = (use_pallas, jnp.dtype(transfer_dtype).name,
-                   lattice_reso is not None)
+                   lattice_reso is not None, bool(coord_quant))
             if key not in cache:
                 td_b = jnp.dtype(transfer_dtype)
                 quant_b = td_b == jnp.dtype(jnp.int8)
+                cq_b = bool(coord_quant)
 
                 def one(tp, p_cn, c_s, reso):
                     out = self._decode_scatter_fast_impl(
@@ -1232,7 +1304,7 @@ class Generator3D:
                         # under vmap, Mosaic compiles crash below tile 4096
                         # (ops/pallas/decode.py docstring) — pin it
                         pallas_tile=4096 if use_pallas else None,
-                        lattice_reso=reso,
+                        lattice_reso=reso, coord_quant=cq_b,
                     )
                     if quant_b:
                         # per-object scaled int8 (same contract as
