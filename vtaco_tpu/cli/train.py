@@ -51,7 +51,17 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from vtaco_tpu.core.cache import enable_persistent_cache
+    from vtaco_tpu.parallel.multihost import initialize_distributed
 
+    # no-op single-host; on pods set JAX_COORDINATOR_ADDRESS etc. or rely
+    # on Cloud TPU auto-discovery (parallel/multihost.py)
+    initialize_distributed(
+        coordinator_address=os.environ.get("VTACO_COORDINATOR"),
+        num_processes=(int(os.environ["VTACO_NUM_PROCESSES"])
+                       if "VTACO_NUM_PROCESSES" in os.environ else None),
+        process_id=(int(os.environ["VTACO_PROCESS_ID"])
+                    if "VTACO_PROCESS_ID" in os.environ else None),
+    )
     enable_persistent_cache()
 
     from vtaco_tpu.core.config import load_config

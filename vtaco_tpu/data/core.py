@@ -28,7 +28,7 @@ logger = logging.getLogger(__name__)
 
 class Shapes3dDataset:
     def __init__(self, dataset_folder, fields, split=None, categories=None,
-                 no_except=True, transform=None, cfg=None):
+                 no_except=True, transform=None, cfg=None, shard=None):
         self.dataset_folder = dataset_folder
         self.fields = fields
         self.no_except = no_except
@@ -65,6 +65,19 @@ class Shapes3dDataset:
                 with open(os.path.join(subpath, split + ".lst")) as f:
                     models_c = [m for m in f.read().split("\n") if m]
             self.models += [{"category": c, "model": m} for m in models_c]
+
+        # multi-host input sharding: keep every num_shards-th model,
+        # strided so each process's shard spans all categories. Shards
+        # are disjoint and cover the full list (tests/test_data.py);
+        # epoch semantics stay exact across the pod.
+        if shard is not None:
+            shard_index, num_shards = shard
+            if not 0 <= shard_index < num_shards:
+                raise ValueError(f"shard {shard_index}/{num_shards}")
+            self.shard = (shard_index, num_shards)
+            self.models = self.models[shard_index::num_shards]
+        else:
+            self.shard = None
 
         # sliding-window (pointcloud_crop) precomputation
         # (src/data/core.py:106-126)
@@ -287,8 +300,16 @@ class BatchLoader:
             closed.set()  # GeneratorExit / break / exception → stop producer
 
 
-def get_dataset(mode, cfg, return_idx=False):
-    """Top-level dataset factory (src/config.py:121-166)."""
+def get_dataset(mode, cfg, return_idx=False, shard=None):
+    """Top-level dataset factory (src/config.py:121-166).
+
+    ``shard=(index, num)`` slices the model list for multi-host input
+    (see parallel/multihost.py). ``shard=None`` + ``data.shard_by_process:
+    true`` derives it from ``jax.process_index()/count()`` — the TRAIN
+    split only, so validation metrics stay comparable to single-host runs
+    (each process evaluating the full val split is redundant but exact;
+    pass an explicit ``shard`` to shard eval too and aggregate yourself).
+    """
     from vtaco_tpu.core.factory import get_data_fields
     from vtaco_tpu.data import fields as F
     from vtaco_tpu.data.transforms import (
@@ -348,6 +369,16 @@ def get_dataset(mode, cfg, return_idx=False):
     if return_idx:
         flds["idx"] = F.IndexField()
 
+    if shard is None and mode == "train" and cfg["data"].get(
+            "shard_by_process"):
+        import jax
+
+        from vtaco_tpu.parallel.multihost import process_shard
+
+        if jax.process_count() > 1:
+            shard = process_shard()
+
     return Shapes3dDataset(
-        dataset_folder, flds, split=split, categories=categories, cfg=cfg
+        dataset_folder, flds, split=split, categories=categories, cfg=cfg,
+        shard=shard,
     )
