@@ -838,6 +838,41 @@ def main():
             except Exception as e:
                 mise_detail["mise256_dense_direct_error"] = repr(e)[:120]
 
+            # resolution ceiling: 512³ via one more upsampling step
+            # (res0 64 ×2³ — the reference's resolution_0×2^upsampling
+            # contract, configs/default.yaml:66-67). The 513³ f32 value
+            # grid is 540 MB host-side; the native MISE engine's
+            # page-recycling pool and the sliced >4.2M-pt fast decode
+            # make this the first resolution where both matter.
+            try:
+                _mark("MISE 512^3 extraction")
+                t0 = time.time()
+                multires_decode(gen, state, c_variants[0], 64, 3, None)
+                t_mise5_first = time.time() - t0  # incl. new-bucket compiles
+                st_5 = {}
+                t0 = time.time()
+                vals5, lvl5 = multires_decode(gen, state, c_variants[1], 64,
+                                              3, None, stats=st_5)
+                t_refine5 = time.time() - t0
+                v5, f5 = marching_cubes(vals5, level=lvl5, gradient="ascent")
+                t_mise5 = time.time() - t0
+                mise_detail.update(
+                    mise512_s=round(t_mise5, 3),
+                    mise512_first_s=round(t_mise5_first, 1),
+                    mise512_verts=int(len(v5)),
+                    mise512_split={
+                        "coarse_s": round(st_5["coarse_s"], 3),
+                        "decode_s": round(st_5["decode_s"], 3),
+                        "host_bookkeeping_s": round(st_5["host_s"], 3),
+                        "mc_s": round(t_mise5 - t_refine5, 3),
+                        "query_pts_per_level": st_5["query_pts"],
+                    },
+                )
+                del vals5, v5, f5
+            except Exception as e:
+                _mark(f"mise512 FAILED: {e!r}")
+                mise_detail["mise512_error"] = repr(e)[:200]
+
             if args.batch_objects > 0:
                 # batched MISE serving (BASELINE config 5): B objects refined
                 # in lockstep — coarse batched dense decode + padded batched
