@@ -630,6 +630,60 @@ def main():
                 )
         except Exception as e:
             amort_detail["decode_scattered_device_error"] = repr(e)[:120]
+        # sorted windowed scattered estimate (VERDICT r3 #2): host-sort
+        # once (cost reported separately), then the same K-slope over
+        # resident sorted coords through the window kernel — the gather
+        # is gone; interpolation is an in-VMEM one-hot MXU dot
+        _mark("K-amortized sorted-window scattered estimate")
+        try:
+            g0 = c_variants[0]["grid"]
+            g0 = g0[0] if g0.ndim == 5 else g0
+            reso_w = g0.shape[0]
+            pf32_w = pointsf_np.astype(np.float32)
+            t0 = time.time()
+            plan_w = gen._window_plan(pf32_w, reso_w, n_points,
+                                      ("bench", "window", args.gating))
+            if plan_w is None:
+                raise RuntimeError("no (L, tile) window plan fits")
+            L_w, tile_w, npad_w, order_w = plan_w
+            t_sort_host = time.time() - t0
+            S_w = gen.window_S
+            pts_w = np.empty((3, npad_w), np.float32)
+            pts_w[:, :n_points] = pf32_w.T[:, order_w]
+            if npad_w > n_points:
+                pts_w[:, n_points:] = pts_w[:, n_points - 1:n_points]
+            pts_w_dev = jnp.asarray(pts_w)
+
+            @jax.jit
+            def repeat_window(tp, pts_cn, c_stack, gpts, gfeat, gvalid):
+                def one(ci):
+                    gi = ci["grid"]
+                    gi = gi[0] if gi.ndim == 5 else gi
+                    return gen._decode_scatter_window_impl(
+                        tp, pts_cn, gi, gpts, gfeat, gvalid,
+                        gating=args.gating, S=S_w, tile=tile_w, L=L_w,
+                    ).mean()
+                return jax.lax.map(one, c_stack)
+
+            slope_w = slope_of(
+                lambda st: np.asarray(
+                    repeat_window(tp_amort, pts_w_dev, st, gate_pts,
+                                  gate_feat, gate_valid)
+                ),
+                2, 6,
+            )
+            if slope_w > 0:
+                amort_detail["decode_scattered_window_device_s_est"] = (
+                    round(slope_w, 4)
+                )
+                amort_detail["scatter_window_plan"] = (
+                    f"L={L_w} tile={tile_w}"
+                )
+                amort_detail["scatter_window_host_sort_s"] = round(
+                    t_sort_host, 4
+                )
+        except Exception as e:
+            amort_detail["decode_scattered_window_error"] = repr(e)[:160]
     if args.pallas_compare:
         other = "xla" if pallas_default else "pallas"
         try:

@@ -915,3 +915,103 @@ def test_decode_points_batched_coord_quant(rng):
     with pytest.raises(ValueError):
         gen.decode_points_batched(state, np.zeros((B, 9, 3), np.int16), cB,
                                   lattice_reso=16, coord_quant=True)
+
+
+def test_window_kernel_matches_gather(rng):
+    """Sorted windowed decode kernel (fused_trunk_window_cn): parity vs
+    the corner-packed-gather XLA features + fused trunk, zero overflow
+    with an adequate window, counted overflow with an undersized one."""
+    from vtaco_tpu.ops.dense_decode import (
+        scattered_grid_features_cn,
+        supercell_keys,
+        supercell_packed_volume,
+    )
+    from vtaco_tpu.ops.pallas.decode import (
+        fused_trunk_cn,
+        fused_trunk_window_cn,
+        pack_trunk_params,
+    )
+
+    R, C = 17, 8          # odd reso stresses n1 = ceil((R-1)/L)
+    padding = 0.1
+    N, tile = 4096, 256
+    g = jnp.asarray(rng.standard_normal((R, R, R, C)), jnp.float32)
+    pts = rng.uniform(-0.62, 0.62, (3, N)).astype(np.float32)  # outliers too
+
+    dec = LocalDecoder(c_dim=C, hidden_size=8, n_blocks=5)
+    params = dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 3)),
+                      {"grid": g[None]})["params"]
+    tp = FT.extract_trunk_params(params, dec.n_blocks, with_img=False)
+    packed = pack_trunk_params(tp, with_img=False)
+
+    # L=1: plain cells (8C corner payload); L=2: 2³-cell supers (27C)
+    for L, S in ((1, 512), (2, 64)):
+        keys = np.asarray(supercell_keys(jnp.asarray(pts), R, padding, L))
+        pts_s = jnp.asarray(pts[:, np.argsort(keys, kind="stable")])
+        feats = scattered_grid_features_cn(g, pts_s, padding)
+        ref = fused_trunk_cn(packed, pts_s, feats, interpret=True)
+
+        vol, n1 = supercell_packed_volume(g, S, L)
+        out, n_over = fused_trunk_window_cn(
+            packed, vol, pts_s, reso=R, n1=n1, padding=padding, L=L,
+            S=S, tile=tile, interpret=True)
+        assert int(n_over) == 0, (L, S)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+        # an undersized window must REPORT the overrun, not hide it
+        vol8, _ = supercell_packed_volume(g, 8, L)
+        _, n_over8 = fused_trunk_window_cn(
+            packed, vol8, pts_s, reso=R, n1=n1, padding=padding, L=L,
+            S=8, tile=tile, interpret=True)
+        assert int(n_over8) > 0, (L,)
+
+
+def test_window_scatter_generator_routing(rng):
+    """eval_points_fast routes grid-only non-lattice queries through the
+    sorted window path (caller-order results, gating parity, plane
+    fields rejected)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    gen.window_interpret = True
+    c_grid = {"grid": c_planes["grid"]}
+    N = 3000
+    pts = rng.uniform(-0.6, 0.6, (N, 3)).astype(np.float32)
+
+    ref = gen.eval_points_fast(state, pts, c_grid,
+                               transfer_dtype=jnp.float32, use_pallas=False)
+    win = gen.eval_points_fast(state, pts, c_grid,
+                               transfer_dtype=jnp.float32, use_pallas=True)
+    np.testing.assert_allclose(win, ref, atol=2e-5)
+
+    gate_pts = jnp.asarray(rng.uniform(-0.3, 0.3, (5, 8, 3)), jnp.float32)
+    gate_feat = jnp.asarray(rng.standard_normal((5, 8)), jnp.float32)
+    gate_valid = jnp.asarray(rng.random((5, 8)) > 0.3)
+    refg = gen.eval_points_fast(state, pts, c_grid, "contact", gate_pts,
+                                gate_feat, gate_valid,
+                                transfer_dtype=jnp.float32, use_pallas=False)
+    wing = gen.eval_points_fast(state, pts, c_grid, "contact", gate_pts,
+                                gate_feat, gate_valid,
+                                transfer_dtype=jnp.float32, use_pallas=True)
+    np.testing.assert_allclose(wing, refg, atol=2e-5)
+
+    # uint16-quantized upload through the window path: must match the
+    # EXISTING quant gather path (identical dequantized coords and
+    # clipping contract; only interp summation order differs)
+    winq = gen.eval_points_fast(state, pts, c_grid,
+                                transfer_dtype=jnp.float32, use_pallas=True,
+                                coord_quant=True)
+    refq = gen.eval_points_fast(state, pts, c_grid,
+                                transfer_dtype=jnp.float32, use_pallas=False,
+                                coord_quant=True)
+    np.testing.assert_allclose(winq, refq, atol=2e-5)
+
+    # plane features present → the window path must decline
+    tp = FT.extract_trunk_params(state.params["decoder"],
+                                 model.decoder.n_blocks, with_img=False)
+    assert gen._try_window_scatter(
+        state, tp, pts, N, c_planes, "none", jnp.zeros((1, 3)),
+        jnp.zeros((1, 1)), jnp.zeros((1,), bool), jnp.float32,
+        use_pallas=True, leaky=False, quantize=False) is None

@@ -196,6 +196,20 @@ class Generator3D:
             static_argnames=("gating", "dtype", "use_pallas", "leaky",
                              "pallas_tile", "out_dtype", "coord_quant"),
         )
+        self._decode_scatter_window = jax.jit(
+            self._decode_scatter_window_impl,
+            static_argnames=("gating", "S", "tile", "L", "out_dtype",
+                             "coord_quant", "interpret"),
+        )
+        # sorted windowed scatter decode (ops/pallas/decode.py
+        # fused_trunk_window_cn): tile of consecutive sorted points per
+        # kernel instance; window = 2S supers. S=128 is the Mosaic
+        # minimum (block lane dim must divide 128); the host wrapper
+        # adapts super size L and tile to keep every tile's span inside
+        # the window (cheapest selection first: L=1 = plain cells)
+        self.window_tile = 1024
+        self.window_S = 128
+        self.window_interpret = False  # tests: interpret-mode kernel
 
     @classmethod
     def from_config(cls, model, cfg, **kw):
@@ -490,6 +504,54 @@ class Generator3D:
         logits = self._trunk_fast(trunk_params, p_cn, feats, gate_pts,
                                   gate_feat, gate_valid, gating, dtype,
                                   use_pallas, leaky, pallas_tile)
+        return self._finalize_logits(logits, out_dtype)
+
+    def _decode_scatter_window_impl(self, trunk_params, p_cn, c_grid,
+                                    gate_pts, gate_feat, gate_valid,
+                                    gating, S, tile, L=1, out_dtype=None,
+                                    coord_quant=False, interpret=False):
+        """Sorted windowed scatter decode: NO gather anywhere on device.
+
+        The corner-packed row-take floor of `_decode_scatter_fast_impl`
+        (~49 ms at 2.1M points — TPU gathers are row-issue-bound) is
+        replaced by sort-locality: ``p_cn`` (3, N) arrives SORTED by
+        super-cell id (ops.dense_decode.supercell_keys; the host wrapper
+        `_try_window_scatter` sorts and un-sorts) and the Pallas kernel
+        (ops.pallas.decode.fused_trunk_window_cn) selects each tile's
+        features from a VMEM-resident 2S-super window of the
+        super-cell-packed volume with one MXU one-hot dot — interpolation
+        AND trunk in one kernel. Grid-only feature fields (the flagship's
+        ``plane_type: 'grid'``); the host wrapper guarantees every
+        point's super-cell lies inside its tile's window (margin-checked
+        against the exact same f32 math) and falls back to the gather
+        path otherwise."""
+        from vtaco_tpu.ops import fast_trunk as FT
+        from vtaco_tpu.ops.dense_decode import supercell_packed_volume
+        from vtaco_tpu.ops.pallas.decode import (
+            fused_trunk_window_cn,
+            pack_trunk_params,
+        )
+
+        box = 1 + self.padding
+        if coord_quant:
+            p_cn = box * (p_cn.astype(jnp.float32) / 65535.0 - 0.5)
+        reso = c_grid.shape[0]
+        vol, n1 = supercell_packed_volume(c_grid, S, L)
+        packed = pack_trunk_params(trunk_params, with_img=gating != "none",
+                                   dtype=jnp.float32)
+        kw = dict(reso=reso, n1=n1, padding=self.padding, S=S, tile=tile,
+                  L=L, interpret=interpret)
+        if gating == "contact":
+            logits, _ = fused_trunk_window_cn(
+                packed, vol, p_cn, gate_pts=gate_pts, gate_feat=gate_feat,
+                gate_valid=gate_valid, **kw)
+        elif gating == "tips":
+            c_img = FT.gate_tips_cn(p_cn, gate_pts, gate_feat, gate_valid,
+                                    dtype=jnp.float32)
+            logits, _ = fused_trunk_window_cn(packed, vol, p_cn,
+                                              c_img_cn=c_img, **kw)
+        else:
+            logits, _ = fused_trunk_window_cn(packed, vol, p_cn, **kw)
         return self._finalize_logits(logits, out_dtype)
 
     def _trunk_fast(self, trunk_params, p_cn, feats, gate_pts, gate_feat,
@@ -847,6 +909,15 @@ class Generator3D:
                 cand, resid = self._lattice_encode_host(pf, box, reso, npad)
                 if resid <= 1e-3:
                     pts, lattice_reso = cand, reso
+        if pts is None and lattice_reso is None:
+            out = self._try_window_scatter(
+                state, tp, pf, n, c, gating, gate_pts, gate_feat,
+                gate_valid, transfer_dtype, use_pallas,
+                leaky=getattr(decoder, "leaky", False),
+                quantize=coord_quant or quant_fallback,
+            )
+            if out is not None:
+                return out
         if pts is not None:
             pass
         elif lattice_reso is not None:
@@ -904,6 +975,185 @@ class Generator3D:
             # one more dispatch, costlier than the extra bytes here
             return np.asarray(q).astype(np.float32)[:n] * float(scale)
         return np.asarray(out).astype(np.float32)[:n]
+
+    def _window_keys_host(self, pf32, reso, L=1):
+        """Exact numpy replica of ops.dense_decode.supercell_keys over
+        (N, 3) f32 points — elementwise IEEE f32 ops only (div, add,
+        mult, floor, min/max, where), which XLA lowers exactly (no FMA
+        pattern exists in these expressions), so host keys == device
+        keys bit-for-bit and the host can guarantee window membership
+        before dispatching (validated on hardware; the kernel clamps to
+        the window edge as a final backstop)."""
+        n1 = -(-(reso - 1) // L)
+        box_eps = np.float32(1 + self.padding + 10e-4)
+        u = pf32 / box_eps + np.float32(0.5)
+        u = np.where(u >= 1.0, np.float32(1 - 10e-4),
+                     np.maximum(u, np.float32(0.0)))
+        x = np.clip(u * np.float32(reso - 1), np.float32(0.0),
+                    np.float32(reso - 1))
+        x0 = np.minimum(np.floor(x), reso - 2).astype(np.int32)
+        s = x0 // L                                   # (N, 3) supers
+        return s[:, 0] + n1 * (s[:, 1] + n1 * s[:, 2]), n1
+
+    def _window_sort(self, pf32, reso, L, quantize):
+        """Counting-sort (n, 3) f32 points by super-cell key: native
+        one-pass C++ (vtaco_window_keys_sort, ~40 ms at 2.1M points)
+        with a numpy argsort fallback (~330 ms on this 1-core host).
+        Returns (keys_sorted, order, n1), or (None, None, n1) for
+        non-finite coords (caller falls back to the gather path)."""
+        n = pf32.shape[0]
+        try:
+            from vtaco_tpu.native import geom as _geom
+
+            lib = _geom._ensure() if hasattr(_geom, "_ensure") else None
+        except Exception:
+            lib = None
+        if lib is not None and pf32.flags["C_CONTIGUOUS"]:
+            import ctypes
+
+            keys_s = np.empty(n, np.int32)
+            order = np.empty(n, np.int32)
+            c_f = ctypes.POINTER(ctypes.c_float)
+            c_i = ctypes.POINTER(ctypes.c_int32)
+            n1 = lib.vtaco_window_keys_sort(
+                pf32.ctypes.data_as(c_f), n, int(reso), int(L),
+                ctypes.c_float(np.float32(1 + self.padding)),
+                ctypes.c_float(np.float32(1 + self.padding + 10e-4)),
+                int(bool(quantize)),
+                keys_s.ctypes.data_as(c_i), order.ctypes.data_as(c_i),
+            )
+            if n1 > 0:
+                return keys_s, order, n1
+            return None, None, 0
+        if quantize:
+            box = np.float32(1 + self.padding)
+            u = pf32 / box + np.float32(0.5)
+            q = np.round(np.clip(u, np.float32(0.0), np.float32(1.0))
+                         * np.float32(65535.0))
+            key_src = box * (q.astype(np.float32) / np.float32(65535.0)
+                             - np.float32(0.5))
+        else:
+            key_src = pf32
+        keys, n1 = self._window_keys_host(key_src, reso, L)
+        if keys.min() < 0 or keys.max() >= n1 ** 3:
+            return None, None, n1
+        order = np.argsort(keys, kind="stable").astype(np.int32)
+        return keys[order], order, n1
+
+    def _window_payload(self, pf32, order, npad, quantize):
+        """Sorted (3, npad) channels-first dispatch payload (f32, or
+        uint16 when quantize), pad columns = last real point."""
+        n = pf32.shape[0]
+        dt = np.uint16 if quantize else np.float32
+        try:
+            from vtaco_tpu.native import geom as _geom
+
+            lib = _geom._ensure()
+        except Exception:
+            lib = None
+        if lib is not None and pf32.flags["C_CONTIGUOUS"]:
+            import ctypes
+
+            out = np.empty((3, npad), dt)
+            c_f = ctypes.POINTER(ctypes.c_float)
+            c_i = ctypes.POINTER(ctypes.c_int32)
+            lib.vtaco_window_permute(
+                pf32.ctypes.data_as(c_f), n, order.ctypes.data_as(c_i),
+                npad, int(bool(quantize)),
+                ctypes.c_float(np.float32(1 + self.padding)),
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+            return out
+        if quantize:
+            box = np.float32(1 + self.padding)
+            u = pf32 / box + np.float32(0.5)
+            payload = np.round(
+                np.clip(u, np.float32(0.0), np.float32(1.0))
+                * np.float32(65535.0)).astype(np.uint16)
+        else:
+            payload = pf32
+        out = np.zeros((3, npad), dt)
+        out[:, :n] = payload[order].T
+        if n < npad:
+            out[:, n:] = out[:, n - 1:n]
+        return out
+
+    def _window_plan(self, pf32, reso, n, bucket_sig, quantize=False):
+        """Pick the cheapest (L, tile) whose 2S window provably contains
+        every tile's sorted span — selection flops scale with the
+        (L+1)³C payload, so L=1 (plain cells) first; smaller tiles
+        shrink spans. Returns (L, tile, npad, sort_order) or None when
+        no candidate fits (sparse/small query sets → gather path)."""
+        S = self.window_S
+        for L in (1, 2):
+            keys_s, order, n1 = self._window_sort(pf32, reso, L, quantize)
+            if keys_s is None:
+                return None
+            n_cols = max(2 * S, -(-(n1 ** 3) // S) * S)
+            n_blk = n_cols // S
+            for tile in (self.window_tile, self.window_tile // 2,
+                         self.window_tile // 4):
+                npad = self._sticky_bucket((*bucket_sig, L, tile), n)
+                npad = -(-npad // tile) * tile
+                keys_pad = np.empty(npad, np.int32)
+                keys_pad[:n] = keys_s
+                keys_pad[n:] = keys_s[-1]
+                kblk = np.clip(keys_pad[::tile] // S, 0, n_blk - 2)
+                local = keys_pad.reshape(-1, tile) - (kblk * S)[:, None]
+                if local.min() >= 0 and local.max() < 2 * S:
+                    return L, tile, npad, order
+        return None
+
+    def _try_window_scatter(self, state, tp, pf, n, c, gating, gate_pts,
+                            gate_feat, gate_valid, transfer_dtype,
+                            use_pallas, leaky, quantize):
+        """Host side of the sorted windowed scatter decode (VERDICT r3
+        #2): sort non-lattice queries by super-cell id so the Pallas
+        window kernel replaces the row-issue-bound corner gather
+        (~49 ms → one MXU one-hot dot at 2.1M points). Returns the (n,)
+        f32 logits in the CALLER's order, or None when the path doesn't
+        apply — plane features present, Pallas off / leaky decoder, or
+        some tile's points span more supers than the 2S window (exact
+        host check on the very keys the kernel recomputes; sparse or
+        small query sets fall back to the gather path untouched)."""
+        if not use_pallas or leaky or gating not in ("none", "tips",
+                                                     "contact"):
+            return None
+        keys_c = {k for k in c if k in ("grid", "xz", "xy", "yz")}
+        if keys_c != {"grid"}:
+            return None
+        g = c["grid"]
+        if g.ndim == 5:
+            g = g[0]
+        reso = g.shape[0]
+        if not (g.shape[0] == g.shape[1] == g.shape[2]) or reso < 4:
+            return None
+        pf32 = np.ascontiguousarray(pf, np.float32)
+        chosen = self._window_plan(pf32, reso, n,
+                                   ("scatter", gating, "window",
+                                    "quant" if quantize else "f32"),
+                                   quantize)
+        if chosen is None:
+            return None                    # window overrun → gather path
+        L, tile, npad, order = chosen
+        pts_cn = self._window_payload(pf32, order, npad, quantize)
+
+        td = jnp.dtype(transfer_dtype)
+        td = "int8" if td == jnp.dtype(jnp.int8) else td
+        out = self._decode_scatter_window(
+            tp, pts_cn, g, gate_pts, gate_feat, gate_valid,
+            gating=gating, S=self.window_S, tile=tile, L=L, out_dtype=td,
+            coord_quant=quantize, interpret=self.window_interpret,
+        )
+        if td == "int8":
+            qv, scale = out
+            sorted_logits = np.asarray(qv).astype(np.float32)[:n] \
+                * float(scale)
+        else:
+            sorted_logits = np.asarray(out).astype(np.float32)[:n]
+        res = np.empty(n, np.float32)
+        res[order] = sorted_logits
+        return res
 
     def eval_points(self, state, pointsf, c, gating="none", gate_pts=None,
                     gate_feat=None, gate_valid=None,

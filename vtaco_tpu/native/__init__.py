@@ -156,6 +156,15 @@ class _Geom:
                 c_f, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
             ]
+            lib.vtaco_window_keys_sort.restype = ctypes.c_int
+            lib.vtaco_window_keys_sort.argtypes = [
+                c_f, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int, c_i, c_i,
+            ]
+            lib.vtaco_window_permute.argtypes = [
+                c_f, ctypes.c_int64, c_i, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_float, ctypes.c_void_p,
+            ]
             lib.vtaco_read_mesh.restype = ctypes.c_void_p
             lib.vtaco_read_mesh.argtypes = [ctypes.c_char_p]
             lib.vtaco_mesh_num_verts.restype = ctypes.c_int64

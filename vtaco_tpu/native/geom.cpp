@@ -304,4 +304,90 @@ float vtaco_lattice_encode(const float* p, int64_t n, float box, float R,
   return maxr;
 }
 
+// ---------------------------------------------------------------------------
+// Sorted windowed scatter decode, host side (generator._try_window_scatter):
+// counting-sort (n, 3) f32 world coords by super-cell key so each kernel
+// tile's points span one VMEM window of the packed feature volume. The
+// key math replicates ops.dense_decode.supercell_keys in f32 EXACTLY —
+// div/add/mul/floor/min/max only, no mul+add chains, so -ffp-contract
+// cannot alter results and host keys == device keys bit-for-bit. numpy's
+// argsort(kind='stable') + fancy-index permutes cost ~330 ms at 2.1M
+// points on this host's single core; these two passes run in ~40 ms.
+
+// keys_sorted/order out: (n,). Returns n1, or -1 when any key falls
+// outside [0, n1^3) (non-finite coords — caller falls back).
+// box / box_eps arrive PRE-FOLDED from the caller (numpy f64 → f32):
+// composing 1.0f + padding + 1e-3f in f32 here lands 1 ulp away from
+// the f64-folded constant numpy/XLA use, which flips borderline floors
+// (~9 points in 2.1M observed) and breaks the host==device key contract.
+int vtaco_window_keys_sort(const float* p, int64_t n, int reso, int L,
+                           float box, float box_eps, int quant,
+                           int32_t* keys_sorted, int32_t* order) {
+  const int n1 = (reso - 2 + L) / L;  // ceil((reso-1)/L)
+  const int64_t nsup = (int64_t)n1 * n1 * n1;
+  const float wmax = (float)(reso - 1);
+  std::vector<int32_t> keys(n);
+  std::vector<int64_t> cnt(nsup + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t s[3];
+    for (int d = 0; d < 3; ++d) {
+      float v = p[3 * i + d];
+      if (quant) {
+        float u = v / box + 0.5f;
+        u = std::min(std::max(u, 0.0f), 1.0f);
+        float qf = std::nearbyint(u * 65535.0f);
+        v = box * (qf / 65535.0f - 0.5f);
+      }
+      float u = v / box_eps + 0.5f;
+      u = (u >= 1.0f) ? (1.0f - 10e-4f) : std::max(u, 0.0f);
+      float x = std::min(std::max(u * wmax, 0.0f), wmax);
+      float x0f = std::floor(x);
+      if (!(x0f >= 0.0f && x0f <= wmax)) return -1;  // NaN/inf coord
+      int32_t x0 = std::min((int32_t)x0f, reso - 2);
+      s[d] = x0 / L;
+    }
+    keys[i] = s[0] + n1 * (s[1] + n1 * s[2]);
+    ++cnt[keys[i] + 1];
+  }
+  for (int64_t k = 0; k < nsup; ++k) cnt[k + 1] += cnt[k];
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t pos = cnt[keys[i]]++;
+    order[pos] = (int32_t)i;
+    keys_sorted[pos] = keys[i];
+  }
+  return n1;
+}
+
+// Permute (n, 3) f32 coords into the decode dispatch's (3, npad) sorted
+// channels-first layout (f32, or uint16 quantized when quant); pad
+// columns repeat the last real point (keeps padding inside the last
+// tile's window and the int8 logit scale honest).
+void vtaco_window_permute(const float* p, int64_t n, const int32_t* order,
+                          int64_t npad, int quant, float box,
+                          void* out) {
+  float* of = static_cast<float*>(out);
+  uint16_t* oq = static_cast<uint16_t*>(out);
+  for (int64_t i = 0; i < n; ++i) {
+    const float* src = p + 3 * (int64_t)order[i];
+    for (int d = 0; d < 3; ++d) {
+      if (quant) {
+        float u = src[d] / box + 0.5f;
+        u = std::min(std::max(u, 0.0f), 1.0f);
+        oq[d * npad + i] = (uint16_t)std::nearbyint(u * 65535.0f);
+      } else {
+        of[d * npad + i] = src[d];
+      }
+    }
+  }
+  for (int64_t i = n; i < npad; ++i) {
+    for (int d = 0; d < 3; ++d) {
+      if (quant) {
+        oq[d * npad + i] = oq[d * npad + n - 1];
+      } else {
+        of[d * npad + i] = of[d * npad + n - 1];
+      }
+    }
+  }
+}
+
 }  // extern "C"

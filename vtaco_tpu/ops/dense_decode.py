@@ -199,6 +199,88 @@ def scattered_grid_features_cn(g, p_cn, padding: float, dtype=jnp.float32):
     return c0 * (1 - wz) + c1 * wz
 
 
+def supercell_base_coords(p_cn, reso: int, padding: float):
+    """(3, N) world coords → per-axis base-corner indices and fractional
+    positions for the windowed sorted decode.
+
+    EXACTLY the coordinate math of :func:`scattered_grid_features_cn`
+    (normalize + align-corners + clamp-to-dim-2), shared between the XLA
+    wrapper (sort keys, window bases, overflow counts) and the Pallas
+    window kernel so host, wrapper and kernel always agree on which
+    super-cell a point belongs to. Returns ``(x0, y0, z0, x, y, z)`` —
+    int32 base corners and f32 pixel coordinates per axis.
+    """
+    W = reso
+    u = p_cn / (1 + padding + 10e-4) + 0.5
+    u = jnp.where(u >= 1.0, 1 - 10e-4, jnp.maximum(u, 0.0))
+    x = jnp.clip(u[0] * (W - 1), 0.0, W - 1)
+    y = jnp.clip(u[1] * (W - 1), 0.0, W - 1)
+    z = jnp.clip(u[2] * (W - 1), 0.0, W - 1)
+    x0 = jnp.minimum(jnp.floor(x), W - 2).astype(jnp.int32)
+    y0 = jnp.minimum(jnp.floor(y), W - 2).astype(jnp.int32)
+    z0 = jnp.minimum(jnp.floor(z), W - 2).astype(jnp.int32)
+    return x0, y0, z0, x, y, z
+
+
+def supercell_keys(p_cn, reso: int, padding: float, L: int = 1):
+    """(3, N) world coords → (N,) int32 flat super-cell ids.
+
+    Super-cells are L×L×L CELL blocks ((L+1)³ node neighborhoods); the
+    flat id is ``sx + n1·(sy + n1·sz)`` with ``n1 = ceil((reso-1)/L)`` —
+    x fastest, matching the repo's flat cell convention. L=1 is plain
+    cells (2×2×2 corner payload — the cheapest selection dot, the
+    default when each kernel tile's points span ≤ one 2S window of
+    cells); L=2 shrinks the key space 8× for sparser query sets at 3.4×
+    the payload. Sorting points by this key makes each tile of
+    consecutive points touch a contiguous run of super-cells, which is
+    what lets the window kernel keep its slab of the packed volume in
+    VMEM.
+    """
+    n1 = -(-(reso - 1) // L)
+    x0, y0, z0, _, _, _ = supercell_base_coords(p_cn, reso, padding)
+    return (x0 // L) + n1 * ((y0 // L) + n1 * (z0 // L))
+
+
+def supercell_packed_volume(g, S: int, L: int = 1, dtype=jnp.float32):
+    """(D, H, W, C) feature grid → ((L+1)³·C, n_pad) packed volume.
+
+    Column ``s`` holds the (L+1)³ node neighborhood of super-cell ``s``
+    (flat id as in :func:`supercell_keys`); row ``j·C + c`` is channel
+    ``c`` of neighborhood offset ``j = (jz·(L+1) + jy)·(L+1) + jx``.
+    Built with (L+1)³ strided slices of the edge-padded grid
+    (bandwidth-bound; 8× the grid's HBM at L=1 — the same corner pack
+    as scattered_grid_features_cn, laid out channels-first by column —
+    ~3.4× at L=2). Out-of-range border nodes are edge-replicated — they
+    are only ever touched with hat weight 0. Columns are zero-padded to
+    a multiple of ``S`` (≥ 2S) so the kernel's two S-wide window blocks
+    always exist. Returns ``(vol, n1)``.
+    """
+    D, H, W, C = g.shape
+    if not (D == H == W):
+        raise ValueError("windowed decode expects a cubic grid")
+    P = L + 1
+    n1 = -(-(W - 1) // L)
+    pad = L * n1 + 1 - W
+    gp = jnp.pad(g.astype(dtype), ((0, pad),) * 3 + ((0, 0),), mode="edge")
+    parts = []
+    for jz in range(P):
+        for jy in range(P):
+            for jx in range(P):
+                parts.append(
+                    gp[jz:jz + L * n1:L, jy:jy + L * n1:L,
+                       jx:jx + L * n1:L]
+                )
+    vol = jnp.stack(parts, 0)                      # (P³, n1, n1, n1, C)
+    # flat super id sx + n1*(sy + n1*sz): axis order (z, y, x) flattens
+    # with x fastest, matching supercell_keys
+    vol = vol.transpose(0, 4, 1, 2, 3).reshape(P ** 3 * C, n1 ** 3)
+    n_sup = n1 ** 3
+    n_pad = max(2 * S, -(-n_sup // S) * S)
+    if n_pad != n_sup:
+        vol = jnp.pad(vol, ((0, 0), (0, n_pad - n_sup)))
+    return vol, n1
+
+
 def scattered_plane_features_cn(pl, plane: str, p_cn, padding: float,
                                 dtype=jnp.float32):
     """(H, W, C) plane + (3, N) raw coords → (C, N) bilinear features,

@@ -167,6 +167,278 @@ def _trunk_gated_kernel(n_blocks, n_fingers, dtype, r2,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _hat(v):
+    """Linear hat kernel max(0, 1-|v|) — trilinear weight of a node at
+    integer offset t for in-super position g is _hat(g - t)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(v))
+
+
+def _window_interp(reso, n1, S, L, padding, base_col, vol_a, vol_b, p):
+    """In-kernel trilinear interpolation from a VMEM window of the
+    super-cell-packed volume (ops.dense_decode.supercell_packed_volume).
+
+    ``p`` (3, T) f32 world coords whose super-cell ids all lie in
+    ``[base_col, base_col + 2S)`` (the caller's sort + window-base
+    contract; out-of-window points clamp to the window edge and return
+    garbage — the XLA wrapper counts them so the caller can fall back).
+    Selection is one MXU pass: block ((L+1)³C, 2S) @ one-hot (2S, T) —
+    split into (L+1) z-grouped dots with the z-axis hat weight riding
+    the one-hot columns (column scaling commutes with the dot) — then
+    per-axis hat weights reduce to (C, T) on the VPU. At L=1 the
+    payload is the 2×2×2 corner block (8C) and the dots are two
+    (4C, 2S) @ (2S, T) — MXU-shaped at C=32/S=128. The coordinate math
+    replicates scattered_grid_features_cn exactly.
+    """
+    W = reso
+    P = L + 1
+    u = p / (1 + padding + 10e-4) + 0.5
+    u = jnp.where(u >= 1.0, 1 - 10e-4, jnp.maximum(u, 0.0))
+    x = jnp.clip(u[0] * (W - 1), 0.0, W - 1)
+    y = jnp.clip(u[1] * (W - 1), 0.0, W - 1)
+    z = jnp.clip(u[2] * (W - 1), 0.0, W - 1)
+    x0 = jnp.minimum(jnp.floor(x), W - 2).astype(jnp.int32)
+    y0 = jnp.minimum(jnp.floor(y), W - 2).astype(jnp.int32)
+    z0 = jnp.minimum(jnp.floor(z), W - 2).astype(jnp.int32)
+    sx, sy, sz = x0 // L, y0 // L, z0 // L
+    s = sx + n1 * (sy + n1 * sz)
+    T = p.shape[1]
+    local = jnp.clip(s - base_col, 0, 2 * S - 1)
+    block = jnp.concatenate([vol_a[:], vol_b[:]], axis=1)   # (P³C, 2S)
+    C = block.shape[0] // P ** 3
+    # in-super node positions g ∈ [0, L+1); weight of offset t = hat(g-t)
+    gx = x - float(L) * sx.astype(jnp.float32)
+    gy = y - float(L) * sy.astype(jnp.float32)
+    gz = z - float(L) * sz.astype(jnp.float32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (2 * S, T), 0)
+    eq = iota == local[None, :]
+    PC = P * C
+    fz = sum(
+        jax.lax.dot_general(
+            block[t * P * PC:(t + 1) * P * PC],
+            jnp.where(eq, _hat(gz - t)[None, :], 0.0),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for t in range(P)
+    )                                                       # (P²C, T)
+    fy = sum(_hat(gy - t)[None, :] * fz[t * PC:(t + 1) * PC]
+             for t in range(P))                             # (PC, T)
+    return sum(_hat(gx - t)[None, :] * fy[t * C:(t + 1) * C]
+               for t in range(P))                           # (C, T)
+
+
+def _trunk_window_kernel(n_blocks, reso, n1, S, L, padding, in_dim, dtype,
+                         kblk_ref,
+                         w_in, b_in, wcp, bcp, w0, b0, w1, b1, w_out, b_out,
+                         vol_a, vol_b, x_ref, out_ref):
+    """Sorted windowed decode: interpolation AND trunk in one kernel —
+    the gather never exists. x_ref (in_dim, T): rows 0-2 are world
+    coords, optional extra rows (e.g. a precomputed 'tips' c_img) join
+    the input projection only."""
+    i = pl.program_id(0)
+    xin = x_ref[:].astype(dtype)
+    p = xin[:3]
+    feats = _window_interp(reso, n1, S, L, padding, kblk_ref[i] * S,
+                           vol_a, vol_b, p)
+    net = _dot(w_in[:], xin) + b_in[:]
+    out = _mlp_chain(n_blocks, dtype, wcp, bcp, w0, b0, w1, b1, w_out,
+                     b_out, feats.astype(dtype), net)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _trunk_window_gated_kernel(n_blocks, n_fingers, reso, n1, S, L, padding,
+                               dtype, r2,
+                               kblk_ref, active_ref,
+                               w_in, b_in, wcp, bcp, w0, b0, w1, b1,
+                               w_out, b_out,
+                               q, q2, gfeat_t, vol_a, vol_b, x_ref, out_ref,
+                               c_img_ref):
+    """Windowed decode with contact gating fused in (same gating
+    semantics as _trunk_gated_kernel)."""
+    i = pl.program_id(0)
+    K = q.shape[0] // n_fingers
+    p = x_ref[:].astype(dtype)                               # (3, T)
+    feats = _window_interp(reso, n1, S, L, padding, kblk_ref[i] * S,
+                           vol_a, vol_b, p)
+    c_img_ref[:] = jnp.zeros_like(c_img_ref)
+    p2 = jnp.sum(p * p, axis=0, keepdims=True)
+    for f in range(n_fingers):
+        @pl.when(active_ref[i, f] != 0)
+        def _finger(f=f):
+            qf = q[f * K:(f + 1) * K, :]
+            q2f = q2[f * K:(f + 1) * K, :]
+            d2 = q2f + p2 - 2.0 * _dot(qf, p)
+            hit = jnp.max(
+                jnp.where(d2 < r2, 1.0, 0.0), axis=0, keepdims=True
+            )
+            c_img_ref[:] = jnp.where(
+                hit > 0.0, gfeat_t[:, f:f + 1], c_img_ref[:]
+            )
+
+    net = (
+        _dot(w_in[:, :3], p)
+        + _dot(w_in[:, 3:], c_img_ref[:].astype(dtype))
+        + b_in[:]
+    )
+    out = _mlp_chain(n_blocks, dtype, wcp, bcp, w0, b0, w1, b1, w_out,
+                     b_out, feats.astype(dtype), net)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def fused_trunk_window_cn(packed, vol, p_cn, *, reso, n1, padding, L=1,
+                          c_img_cn=None, gate_pts=None, gate_feat=None,
+                          gate_valid=None, radius=0.015,
+                          S=128, tile=1024, dtype=jnp.float32,
+                          interpret=False):
+    """Sorted windowed decode trunk: NO per-point gather anywhere.
+
+    The scattered-decode device floor was the 2M-row corner-packed take
+    (~49 ms at 2.1M points — TPU gathers are row-issue-bound, DESIGN.md
+    §Scattered decode). Here the caller sorts queries by super-cell id
+    (ops.dense_decode.supercell_keys — device lax.sort costs ~2.5 ms at
+    2.1M, or free if the host pre-sorts) and each tile of `tile`
+    consecutive points reads a 2S-super window of the packed `vol`
+    (supercell_packed_volume) into VMEM via two scalar-prefetch-indexed
+    blocks; per-point selection is one (27C, 2S) @ one-hot MXU dot and
+    hat-weight reduction (_window_interp), feeding the same fused MLP.
+
+    Args:
+      packed: pack_trunk_params output (with_img=True when gating).
+      vol: (27C, n_cols) from supercell_packed_volume (n_cols % S == 0).
+      p_cn: (3, N) f32 world coords, SORTED by supercell_keys, N % tile
+        == 0 (pad with copies of a real point).
+      c_img_cn: optional (Ci, N) extra input-projection rows (tips
+        gating), sorted with the points.
+      gate_pts/gate_feat/gate_valid: contact gating (fused, same
+        semantics as fused_trunk_gated_cn); mutually exclusive with
+        c_img_cn.
+    Returns (logits (N,) f32, n_overflow int32) — n_overflow counts
+    points whose super-cell fell outside their tile's window (possible
+    only for pathologically sparse/adversarial sorts given S·tile
+    budgets); their logits are garbage and the caller must fall back.
+    """
+    from vtaco_tpu.ops.dense_decode import supercell_keys
+
+    C27, n_cols = vol.shape
+    C = C27 // (L + 1) ** 3
+    _, N = p_cn.shape
+    if N % tile:
+        raise ValueError(f"N={N} must be a multiple of tile={tile}")
+    if n_cols % S:
+        raise ValueError(f"vol cols {n_cols} not a multiple of S={S}")
+    n_tiles = N // tile
+    n_blk = n_cols // S
+    n_blocks = packed["wc"].shape[0]
+    h_dim = packed["w_in"].shape[0]
+
+    keys = supercell_keys(p_cn, reso, padding, L)            # (N,) int32
+    kblk = jnp.clip(keys[::tile] // S, 0, n_blk - 2)         # (n_tiles,)
+    local = keys.reshape(n_tiles, tile) - (kblk * S)[:, None]
+    n_overflow = jnp.sum((local < 0) | (local >= 2 * S)).astype(jnp.int32)
+
+    wcp = packed["wc"].reshape(n_blocks * h_dim, -1)
+    bcp = packed["bc"].reshape(n_blocks * h_dim, 1)
+    vol_specs = [
+        pl.BlockSpec((C27, S), lambda i, s: (0, s[i]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C27, S), lambda i, s: (0, s[i] + 1),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    if gate_pts is not None:
+        n_fingers, K, _ = gate_pts.shape
+        q = gate_pts.reshape(n_fingers * K, 3).astype(jnp.float32)
+        valid_col = gate_valid.reshape(n_fingers * K, 1)
+        q2 = jnp.where(
+            valid_col, jnp.sum(q * q, axis=1, keepdims=True),
+            jnp.float32(1e30),
+        )
+        # conservative tile×finger activity mask over tile AABBs (same
+        # construction as fused_trunk_gated_cn; sorted tiles are spatially
+        # tighter, so the skip mask only gets better)
+        pt = p_cn.astype(jnp.float32).reshape(3, n_tiles, tile)
+        lo = jnp.min(pt, axis=2)
+        hi = jnp.max(pt, axis=2)
+        clamped = jnp.clip(q.T[:, :, None], lo[:, None, :], hi[:, None, :])
+        d2_box = jnp.sum((clamped - q.T[:, :, None]) ** 2, axis=0)
+        within = (d2_box <= radius * radius) & valid_col
+        active = jnp.any(
+            within.reshape(n_fingers, K, n_tiles), axis=1
+        ).T.astype(jnp.int32)
+
+        kernel = functools.partial(
+            _trunk_window_gated_kernel, n_blocks, n_fingers, reso, n1, S,
+            L, padding, dtype, float(radius) * float(radius),
+        )
+        const_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(13)
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=const_specs + [
+                pl.BlockSpec((C27, S), lambda i, s, a: (0, s[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C27, S), lambda i, s, a: (0, s[i] + 1),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, tile), lambda i, s, a: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile), lambda i, s, a: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((C, tile), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(
+            kblk, active,
+            packed["w_in"], packed["b_in"], wcp, bcp,
+            packed["w0"], packed["b0"], packed["w1"], packed["b1"],
+            packed["w_out"], packed["b_out"],
+            q, q2, gate_feat.T.astype(jnp.float32),
+            vol, vol, p_cn.astype(jnp.float32),
+        )
+        return out[0], n_overflow
+
+    x = p_cn.astype(jnp.float32)
+    if c_img_cn is not None:
+        x = jnp.concatenate([x, c_img_cn.astype(jnp.float32)], axis=0)
+    in_dim = x.shape[0]
+    kernel = functools.partial(
+        _trunk_window_kernel, n_blocks, reso, n1, S, L, padding, in_dim,
+        dtype,
+    )
+    weight_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(10)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=weight_specs + vol_specs + [
+            pl.BlockSpec((in_dim, tile), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i, s: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        kblk,
+        packed["w_in"], packed["b_in"], wcp, bcp,
+        packed["w0"], packed["b0"], packed["w1"], packed["b1"],
+        packed["w_out"], packed["b_out"],
+        vol, vol, x,
+    )
+    return out[0], n_overflow
+
+
 def fused_trunk_cn(packed, p_cn, feats_cn, c_img_cn=None, *,
                    tile=None, dtype=jnp.float32, store_dtype=None,
                    interpret=False):
