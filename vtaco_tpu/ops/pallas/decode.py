@@ -142,10 +142,14 @@ def _trunk_gated_kernel(n_blocks, n_fingers, dtype, r2,
     feats = feats_ref[:].astype(dtype)
     c_img_ref[:] = jnp.zeros_like(c_img_ref)
     # scalar-prefetch refs live in SMEM: only scalar loads are legal, so
-    # the gate is one pl.when per finger (no vector any-active row load)
+    # the gate is one pl.when per finger (no vector any-active row load).
+    # active_ref is a per-tile finger BITMASK (n_tiles,) int32 — a 2D
+    # (n_tiles, n_fingers) array would be lane-padded to 128 in SMEM
+    # (n_tiles × 512 B), which overflows the 1 MB SMEM budget beyond
+    # ~2000 tiles; the packed form costs 4 B/tile.
     p2 = jnp.sum(p * p, axis=0, keepdims=True)           # (1, T)
     for f in range(n_fingers):
-        @pl.when(active_ref[i, f] != 0)
+        @pl.when(((active_ref[i] >> f) & 1) != 0)
         def _finger(f=f):
             qf = q[f * K:(f + 1) * K, :]                 # (K, 3)
             q2f = q2[f * K:(f + 1) * K, :]               # (K, 1)
@@ -262,8 +266,10 @@ def _trunk_window_gated_kernel(n_blocks, n_fingers, reso, n1, S, L, padding,
                            vol_a, vol_b, p)
     c_img_ref[:] = jnp.zeros_like(c_img_ref)
     p2 = jnp.sum(p * p, axis=0, keepdims=True)
+    # active_ref: per-tile finger bitmask (see _trunk_gated_kernel — the
+    # 2D mask form lane-pads to 1 MB of SMEM at 2048 tiles)
     for f in range(n_fingers):
-        @pl.when(active_ref[i, f] != 0)
+        @pl.when(((active_ref[i] >> f) & 1) != 0)
         def _finger(f=f):
             qf = q[f * K:(f + 1) * K, :]
             q2f = q2[f * K:(f + 1) * K, :]
@@ -362,9 +368,18 @@ def fused_trunk_window_cn(packed, vol, p_cn, *, reso, n1, padding, L=1,
         clamped = jnp.clip(q.T[:, :, None], lo[:, None, :], hi[:, None, :])
         d2_box = jnp.sum((clamped - q.T[:, :, None]) ** 2, axis=0)
         within = (d2_box <= radius * radius) & valid_col
+        if n_fingers > 31:
+            raise ValueError(f"n_fingers={n_fingers} > 31 (bitmask)")
         active = jnp.any(
             within.reshape(n_fingers, K, n_tiles), axis=1
         ).T.astype(jnp.int32)
+        # pack to a per-tile bitmask: SMEM stores scalar-prefetch arrays
+        # lane-padded, so (n_tiles, 5) int32 costs 512 B/tile — 1 MB (the
+        # whole SMEM budget) at the 2048 tiles of a 2.1M-point decode
+        active = jnp.sum(
+            active << jnp.arange(n_fingers, dtype=jnp.int32)[None, :],
+            axis=1, dtype=jnp.int32,
+        )
 
         kernel = functools.partial(
             _trunk_window_gated_kernel, n_blocks, n_fingers, reso, n1, S,
@@ -590,9 +605,17 @@ def fused_trunk_gated_cn(packed, p_cn, feats_cn, gate_pts, gate_feat,
     clamped = jnp.clip(q.T[:, :, None], lo[:, None, :], hi[:, None, :])
     d2_box = jnp.sum((clamped - q.T[:, :, None]) ** 2, axis=0)  # (5K, n_tiles)
     within = (d2_box <= radius * radius) & valid_col      # (5K, n_tiles)
+    if n_fingers > 31:
+        raise ValueError(f"n_fingers={n_fingers} > 31 (bitmask)")
     active = jnp.any(
         within.reshape(n_fingers, K, n_tiles), axis=1
     ).T.astype(jnp.int32)                                 # (n_tiles, 5)
+    # per-tile finger BITMASK: the 2D form lane-pads to 512 B/tile in
+    # SMEM and overflows the 1 MB budget at ~2000 tiles (256³ decodes)
+    active = jnp.sum(
+        active << jnp.arange(n_fingers, dtype=jnp.int32)[None, :],
+        axis=1, dtype=jnp.int32,
+    )
 
     kernel = functools.partial(
         _trunk_gated_kernel, n_blocks, n_fingers, dtype,
