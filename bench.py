@@ -625,8 +625,12 @@ def main():
                 2, 6,
             )
             if slope_sc > 0:
-                amort_detail["decode_scattered_device_s_est"] = round(
-                    slope_sc, 4
+                # fallback-path estimate; the headline
+                # decode_scattered_device_s_est is assigned after the
+                # window stage below (the shipped path when its sort
+                # plan fits, which it does for any dense-ish query set)
+                amort_detail["decode_scattered_gather_device_s_est"] = (
+                    round(slope_sc, 4)
                 )
         except Exception as e:
             amort_detail["decode_scattered_device_error"] = repr(e)[:120]
@@ -684,6 +688,17 @@ def main():
                 )
         except Exception as e:
             amort_detail["decode_scattered_window_error"] = repr(e)[:160]
+        # headline scattered device estimate = the SHIPPED non-lattice
+        # path: sorted window kernel when its plan fits (it does for any
+        # spatially dense query set), corner-packed gather otherwise
+        w_est = amort_detail.get("decode_scattered_window_device_s_est")
+        g_est = amort_detail.get("decode_scattered_gather_device_s_est")
+        if w_est is not None:
+            amort_detail["decode_scattered_device_s_est"] = w_est
+            amort_detail["decode_scattered_device_path"] = "window"
+        elif g_est is not None:
+            amort_detail["decode_scattered_device_s_est"] = g_est
+            amort_detail["decode_scattered_device_path"] = "gather"
     if args.pallas_compare:
         other = "xla" if pallas_default else "pallas"
         try:
