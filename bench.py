@@ -866,13 +866,20 @@ def main():
             vals, lvl = multires_decode(gen, state, c_variants[0], 64, 2, None)
             verts_m, faces_m = marching_cubes(vals, level=lvl, gradient="ascent")
             t_mise_first = time.time() - t0
-            st_m = {}
-            t0 = time.time()
-            vals, lvl = multires_decode(gen, state, c_variants[1], 64, 2,
-                                        None, stats=st_m)
-            t_refine_m = time.time() - t0
-            verts_m, faces_m = marching_cubes(vals, level=lvl, gradient="ascent")
-            t_mise = time.time() - t0
+            # min of 2 timed extractions: single-shot host bookkeeping
+            # timings vary ~2.5x between runs on this 1-core box
+            t_mise = np.inf
+            for r in (1, 2):
+                st_r = {}
+                t0 = time.time()
+                vals, lvl = multires_decode(gen, state, c_variants[r], 64, 2,
+                                            None, stats=st_r)
+                t_refine_r = time.time() - t0
+                verts_m, faces_m = marching_cubes(vals, level=lvl,
+                                                  gradient="ascent")
+                t_r = time.time() - t0
+                if t_r < t_mise:
+                    t_mise, t_refine_m, st_m = t_r, t_refine_r, st_r
             mise_detail = {
                 "mise256_s": round(t_mise, 3),
                 "mise256_first_s": round(t_mise_first, 1),
@@ -918,13 +925,20 @@ def main():
                 t0 = time.time()
                 multires_decode(gen, state, c_variants[0], 64, 3, None)
                 t_mise5_first = time.time() - t0  # incl. new-bucket compiles
-                st_5 = {}
-                t0 = time.time()
-                vals5, lvl5 = multires_decode(gen, state, c_variants[1], 64,
-                                              3, None, stats=st_5)
-                t_refine5 = time.time() - t0
-                v5, f5 = marching_cubes(vals5, level=lvl5, gradient="ascent")
-                t_mise5 = time.time() - t0
+                # min of 2 (same 1-core host-bookkeeping variance note as
+                # the 256³ leg; a single shot has measured up to 11x off)
+                t_mise5 = np.inf
+                for r in (1, 2):
+                    st_r5 = {}
+                    t0 = time.time()
+                    vals5, lvl5 = multires_decode(gen, state, c_variants[r],
+                                                  64, 3, None, stats=st_r5)
+                    t_refine_r5 = time.time() - t0
+                    v5, f5 = marching_cubes(vals5, level=lvl5,
+                                            gradient="ascent")
+                    t_r5 = time.time() - t0
+                    if t_r5 < t_mise5:
+                        t_mise5, t_refine5, st_5 = t_r5, t_refine_r5, st_r5
                 mise_detail.update(
                     mise512_s=round(t_mise5, 3),
                     mise512_first_s=round(t_mise5_first, 1),
