@@ -869,7 +869,8 @@ def main():
             # min of 2 timed extractions: single-shot host bookkeeping
             # timings vary ~2.5x between runs on this 1-core box
             t_mise = np.inf
-            for r in (1, 2):
+            # clamp to distinct variants: --repeats 1 has only 2
+            for r in range(1, min(3, len(c_variants))):
                 st_r = {}
                 t0 = time.time()
                 vals, lvl = multires_decode(gen, state, c_variants[r], 64, 2,
@@ -928,7 +929,7 @@ def main():
                 # min of 2 (same 1-core host-bookkeeping variance note as
                 # the 256³ leg; a single shot has measured up to 11x off)
                 t_mise5 = np.inf
-                for r in (1, 2):
+                for r in range(1, min(3, len(c_variants))):
                     st_r5 = {}
                     t0 = time.time()
                     vals5, lvl5 = multires_decode(gen, state, c_variants[r],
@@ -971,11 +972,15 @@ def main():
                 )
 
                 def mc_mise(grids, lvls):
-                    return [
-                        marching_cubes(g[:-1, :-1, :-1], level=lv,
-                                       gradient="ascent")
-                        for g, lv in zip(grids, lvls)
-                    ]
+                    # threads across objects on multi-core hosts; serial
+                    # here (1 core) — mise.host_map
+                    from vtaco_tpu.generate.mise import host_map
+
+                    return host_map(
+                        lambda g, lv: marching_cubes(
+                            g[:-1, :-1, :-1], level=lv, gradient="ascent"),
+                        grids, lvls,
+                    )
 
                 def serve_mise(cB):
                     st = {}

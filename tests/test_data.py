@@ -77,3 +77,44 @@ def test_get_dataset_shard_by_process(lst_root, tmp_path):
     # single-process: flag is a no-op
     tr1 = get_dataset("train", cfg)
     assert tr1.shard is None and len(tr1) == 18
+
+
+def test_initialize_distributed_modes(monkeypatch):
+    """initialize_distributed mode matrix (review r4): the idempotence
+    probe must not boot the XLA backends (jax.process_count does — after
+    which jax.distributed.initialize permanently raises), auto-discovery
+    must reach the no-arg call, and single-host stays a no-op."""
+    from vtaco_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(multihost.jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, dict(k))))
+    monkeypatch.setattr(multihost, "_already_initialized", lambda: False)
+    monkeypatch.delenv("VTACO_DISTRIBUTED", raising=False)
+
+    multihost.initialize_distributed()                       # single host
+    multihost.initialize_distributed(coordinator_address="h:1",
+                                     num_processes=1)        # 1 process
+    assert calls == []
+
+    multihost.initialize_distributed(auto=True)              # Cloud TPU
+    assert calls[-1] == ((), {})
+
+    monkeypatch.setenv("VTACO_DISTRIBUTED", "1")             # env opt-in
+    multihost.initialize_distributed()
+    assert len(calls) == 2 and calls[-1] == ((), {})
+    monkeypatch.delenv("VTACO_DISTRIBUTED")
+
+    multihost.initialize_distributed(coordinator_address="h:1",
+                                     num_processes=4, process_id=2)
+    assert calls[-1][1]["num_processes"] == 4
+
+    # initialized runtime: no further calls, probe-only
+    monkeypatch.setattr(multihost, "_already_initialized", lambda: True)
+    multihost.initialize_distributed(auto=True)
+    assert len(calls) == 3
+
+    # the probe itself must not be jax.process_count in disguise
+    import inspect
+    assert "process_count" not in inspect.getsource(
+        multihost.initialize_distributed)

@@ -855,7 +855,8 @@ def test_lattice_reso_estimate_samples_all_axes(rng):
     ii[:, 2] = rng.integers(0, 18, n) * 1          # z too
     coords = (box * (ii.astype(np.float64) / 17 - 0.5)).astype(np.float32)
     est = gen._estimate_lattice_reso(coords, box)
-    assert est is not None and 17 % est == 0 or (est or 0) % 17 == 0, est
+    assert est is not None, "lattice estimate failed on y/z-only lattice"
+    assert 17 % est == 0 or est % 17 == 0, est
     # and the encode at the estimate must verify
     cand, resid = gen._lattice_encode_host(coords, box, est, n)
     assert resid <= 1e-3, (est, resid)
@@ -1015,3 +1016,71 @@ def test_window_scatter_generator_routing(rng):
         state, tp, pts, N, c_planes, "none", jnp.zeros((1, 3)),
         jnp.zeros((1, 1)), jnp.zeros((1,), bool), jnp.float32,
         use_pallas=True, leaky=False, quantize=False) is None
+
+
+def test_window_overflow_sentinel_falls_back(rng):
+    """The kernel's overflow count rides the padded tail of the result
+    transfer (a separate scalar fetch would cost a tunnel RTT); a
+    nonzero flag makes _try_window_scatter return None — gather-path
+    fallback — instead of caller-order garbage (review r4)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    gen.window_interpret = True
+    c_grid = {"grid": c_planes["grid"]}
+    N = 3000
+    pts = rng.uniform(-0.6, 0.6, (N, 3)).astype(np.float32)
+    tp = FT.extract_trunk_params(state.params["decoder"],
+                                 model.decoder.n_blocks, with_img=False)
+    zp, zf, zv = jnp.zeros((1, 3)), jnp.zeros((1, 1)), jnp.zeros((1,), bool)
+
+    out = gen._try_window_scatter(
+        state, tp, pts, N, c_grid, "none", zp, zf, zv, jnp.float32,
+        use_pallas=True, leaky=False, quantize=False)
+    assert out is not None and out.shape == (N,)
+
+    # device side: UNSORTED points through the jitted impl must raise the
+    # flag in the last slot (their tile spans overflow any 2S window).
+    # Tile the R=6 grid to reso 48 so n1³ ≫ 2S and the window can't
+    # cover the whole volume.
+    g = jnp.tile(c_grid["grid"][0], (8, 8, 8, 1))
+    p_cn = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 1024)).astype(np.float32))
+    raw = gen._decode_scatter_window(
+        tp, p_cn, g, zp, zf, zv, gating="none", S=128, tile=256, L=1,
+        out_dtype=None, coord_quant=False, interpret=True)
+    assert float(np.asarray(raw)[-1]) != 0.0
+
+    # host side: a reported overflow → fall back (monkeypatch the jitted
+    # decode to poison the sentinel slot)
+    orig = gen._decode_scatter_window
+
+    def poisoned(*a, **k):
+        res = orig(*a, **k)
+        if isinstance(res, tuple):  # int8: (quantized, scale)
+            return res[0].at[-1].set(jnp.int8(1)), res[1]
+        return res.at[-1].set(jnp.asarray(1, res.dtype))
+
+    gen._decode_scatter_window = poisoned
+    try:
+        assert gen._try_window_scatter(
+            state, tp, pts, N, c_grid, "none", zp, zf, zv, jnp.float32,
+            use_pallas=True, leaky=False, quantize=False) is None
+    finally:
+        gen._decode_scatter_window = orig
+
+
+def test_eval_points_empty(rng):
+    """(0, 3) query sets return empty logits instead of crashing the
+    lattice/window planners (review r4)."""
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    gen.window_interpret = True
+    empty = np.zeros((0, 3), np.float32)
+    out = gen.eval_points_fast(state, empty, {"grid": c_planes["grid"]},
+                               use_pallas=True)
+    assert np.asarray(out).shape == (0,)
+    out2 = gen.eval_points(state, empty, c_planes)
+    assert np.asarray(out2).shape == (0,)

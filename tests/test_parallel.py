@@ -139,6 +139,22 @@ def test_batched_mise_matches_single(rng):
     for g, lv in zip(grids2, levels2):
         assert g.min() <= lv <= g.max()
 
+    # threaded host bookkeeping (multi-core serving hosts) is bit-exact
+    # vs this 1-core box's serial path — per-object engine handles are
+    # independent; only the page pool is shared (mutex-protected)
+    from vtaco_tpu.generate import mise as mise_mod
+
+    old = mise_mod.HOST_THREADS
+    mise_mod.HOST_THREADS = 4
+    try:
+        grids3, levels3 = multires_decode_batched(gen, state, cB, 8, 1,
+                                                  level, device_mesh=mesh)
+    finally:
+        mise_mod.HOST_THREADS = old
+    assert levels3 == levels
+    for g3, g in zip(grids3, grids):
+        np.testing.assert_array_equal(g3, g)
+
 
 def _tiny_train_cfg(root, mesh_root):
     import os

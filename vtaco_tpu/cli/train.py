@@ -53,8 +53,9 @@ def main(argv=None):
     from vtaco_tpu.core.cache import enable_persistent_cache
     from vtaco_tpu.parallel.multihost import initialize_distributed
 
-    # no-op single-host; on pods set JAX_COORDINATOR_ADDRESS etc. or rely
-    # on Cloud TPU auto-discovery (parallel/multihost.py)
+    # no-op single-host; on pods set VTACO_COORDINATOR/_NUM_PROCESSES/
+    # _PROCESS_ID explicitly, or VTACO_DISTRIBUTED=1 for Cloud TPU
+    # auto-discovery (parallel/multihost.py)
     initialize_distributed(
         coordinator_address=os.environ.get("VTACO_COORDINATOR"),
         num_processes=(int(os.environ["VTACO_NUM_PROCESSES"])

@@ -542,17 +542,27 @@ class Generator3D:
         kw = dict(reso=reso, n1=n1, padding=self.padding, S=S, tile=tile,
                   L=L, interpret=interpret)
         if gating == "contact":
-            logits, _ = fused_trunk_window_cn(
+            logits, nov = fused_trunk_window_cn(
                 packed, vol, p_cn, gate_pts=gate_pts, gate_feat=gate_feat,
                 gate_valid=gate_valid, **kw)
         elif gating == "tips":
             c_img = FT.gate_tips_cn(p_cn, gate_pts, gate_feat, gate_valid,
                                     dtype=jnp.float32)
-            logits, _ = fused_trunk_window_cn(packed, vol, p_cn,
-                                              c_img_cn=c_img, **kw)
+            logits, nov = fused_trunk_window_cn(packed, vol, p_cn,
+                                                c_img_cn=c_img, **kw)
         else:
-            logits, _ = fused_trunk_window_cn(packed, vol, p_cn, **kw)
-        return self._finalize_logits(logits, out_dtype)
+            logits, nov = fused_trunk_window_cn(packed, vol, p_cn, **kw)
+        # the kernel's overflow sentinel (nonzero → some point's window
+        # clamped, its logit garbage) rides the last PADDING slot of the
+        # result transfer — a separate scalar fetch would cost a tunnel
+        # RTT. `_window_plan` guarantees npad > n; `_try_window_scatter`
+        # reads [-1] and falls back to the gather path on nonzero.
+        flag = (nov > 0)
+        out = self._finalize_logits(logits, out_dtype)
+        if out_dtype == "int8":
+            q, scale = out
+            return q.at[-1].set(flag.astype(jnp.int8)), scale
+        return out.at[-1].set(flag.astype(out.dtype))
 
     def _trunk_fast(self, trunk_params, p_cn, feats, gate_pts, gate_feat,
                     gate_valid, gating, dtype, use_pallas, leaky,
@@ -881,6 +891,8 @@ class Generator3D:
             with_img=gating != "none",
         )
         n = pointsf.shape[0]
+        if n == 0:  # lattice/window planners index keys[-1]; skip them
+            return np.zeros(0, np.float32)
         box = 1 + self.padding
         pf = np.asarray(pointsf)
         dt_name = jnp.dtype(dtype).name
@@ -1095,6 +1107,8 @@ class Generator3D:
                          self.window_tile // 4):
                 npad = self._sticky_bucket((*bucket_sig, L, tile), n)
                 npad = -(-npad // tile) * tile
+                if npad == n:  # overflow sentinel needs a padding slot
+                    npad += tile
                 keys_pad = np.empty(npad, np.int32)
                 keys_pad[:n] = keys_s
                 keys_pad[n:] = keys_s[-1]
@@ -1147,10 +1161,16 @@ class Generator3D:
         )
         if td == "int8":
             qv, scale = out
-            sorted_logits = np.asarray(qv).astype(np.float32)[:n] \
-                * float(scale)
+            arr = np.asarray(qv)
+            sorted_logits = arr.astype(np.float32)[:n] * float(scale)
         else:
-            sorted_logits = np.asarray(out).astype(np.float32)[:n]
+            arr = np.asarray(out)
+            sorted_logits = arr.astype(np.float32)[:n]
+        if arr[-1] != 0:
+            # kernel-side window overflow (host/device key divergence —
+            # e.g. a toolchain FMA-contraction change): logits unsafe,
+            # fall back to the gather path
+            return None
         res = np.empty(n, np.float32)
         res[order] = sorted_logits
         return res

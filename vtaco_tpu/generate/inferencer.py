@@ -110,6 +110,7 @@ class Inferencer:
         import jax.numpy as jnp
 
         from vtaco_tpu.generate.marching_cubes import marching_cubes
+        from vtaco_tpu.generate.mise import host_map
         from vtaco_tpu.ops import metrics as M
         from vtaco_tpu.utils import meshio
 
@@ -137,15 +138,21 @@ class Inferencer:
             )
             return values, names_b, objs
 
+        def _mc_one(v):
+            verts, faces = marching_cubes(v.reshape(nx, nx, nx),
+                                          gradient="ascent")
+            return (verts - nx / 2) * box / nx, faces
+
         def consume(flight):
             values, names_b, objs = flight
             vals = np.asarray(values, np.float32)  # blocks: device→host
+            # per-object marching cubes threads across host cores (the
+            # native extractor holds no cross-handle state; ctypes
+            # releases the GIL) — mise.host_map is serial on 1-core hosts
+            meshes = host_map(_mc_one, list(vals))
             samples, empty = [], []
             for b, name in enumerate(names_b):
-                verts, faces = marching_cubes(
-                    vals[b].reshape(nx, nx, nx), gradient="ascent"
-                )
-                verts = (verts - nx / 2) * box / nx
+                verts, faces = meshes[b]
                 if out_dir:
                     meshio.write_off(
                         os.path.join(out_dir, f"{name}_obj.off"), verts, faces

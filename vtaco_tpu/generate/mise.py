@@ -13,7 +13,33 @@ fixed-size padded chunks for the jitted scattered decoder.
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
+
+# Per-object host-work thread count for the batched serving paths.
+# None → os.cpu_count(). The native bookkeeping engine (native/mise.cpp)
+# and marching cubes (native/mc.cpp) hold no cross-handle state (the
+# shared page pool is mutex-protected) and ctypes releases the GIL around
+# every foreign call, so B objects' grid passes genuinely overlap on a
+# multi-core serving host — the measured 79%-host share of a batched
+# 256³ flight (docs/DESIGN.md § Batched MISE) divides by min(B, cores).
+HOST_THREADS = None
+
+
+def host_map(fn, *seqs):
+    """``map(fn, *seqs)`` across per-object host bookkeeping, threaded.
+
+    Serial when only one worker is useful (1-core hosts, B=1) so the
+    single-core bench path pays no pool overhead.
+    """
+    n = min(len(s) for s in seqs)
+    w = min(HOST_THREADS or os.cpu_count() or 1, n)
+    if w <= 1:
+        return [fn(*args) for args in zip(*seqs)]
+    with ThreadPoolExecutor(max_workers=w) as ex:
+        return list(ex.map(fn, *seqs))
 
 
 def upsample3d_nn(x):
@@ -454,21 +480,24 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
     elif np.isscalar(thresholds):
         thresholds = [float(thresholds)] * B
     t0 = _time.time()
-    mgs = []
-    for b in range(B):
+
+    def _init_obj(b):
         mg = MultiGridExtractor(resolution0, thresholds[b], invert=False)
         v = vals0[b].reshape(n0, n0, n0)
         pts0 = mg.query()
         mg.update(pts0, v[pts0[:, 0], pts0[:, 1], pts0[:, 2]])
-        mgs.append(mg)
+        return mg
+
+    mgs = host_map(_init_obj, range(B))
     st["host_s"] += _time.time() - t0
+
+    def _advance(mg):
+        mg.increase_resolution()
+        return mg.query()
 
     for _ in range(upsampling_steps):
         t0 = _time.time()
-        ptss = []
-        for mg in mgs:
-            mg.increase_resolution()
-            ptss.append(mg.query())
+        ptss = host_map(_advance, mgs)
         M = max(len(p) for p in ptss)
         st["query_pts"].append(int(M))
         if M == 0:
@@ -504,12 +533,15 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
             )
             st["decode_s"] += _time.time() - t0
         t0 = _time.time()
-        for b, p in enumerate(ptss):
+
+        def _apply(mg, p, v):
             if len(p):
-                mgs[b].update(p, vals[b, : len(p)])
+                mg.update(p, np.asarray(v[: len(p)]))
+
+        host_map(_apply, mgs, ptss, list(vals))
         st["host_s"] += _time.time() - t0
 
     t0 = _time.time()
-    grids = [mg.values for mg in mgs]
+    grids = host_map(lambda mg: mg.values, mgs)
     st["host_s"] += _time.time() - t0
     return grids, thresholds

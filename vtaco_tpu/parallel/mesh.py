@@ -71,9 +71,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(tree, sharding: NamedSharding):
+    """device_put, or per-process assembly when the mesh spans hosts.
+
+    In a multi-process runtime ``jax.device_put`` cannot address other
+    hosts' chips; ``make_array_from_process_local_data`` stitches each
+    process's local rows into the global array (the loader feeds each
+    process only its shard — parallel/multihost.py step 3).
+    """
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            tree)
+    return jax.device_put(tree, sharding)
+
+
 def shard_batch(mesh: Mesh, tree):
-    return jax.device_put(tree, batch_sharding(mesh))
+    return _put(tree, batch_sharding(mesh))
 
 
 def replicate(mesh: Mesh, tree):
-    return jax.device_put(tree, replicated(mesh))
+    return _put(tree, replicated(mesh))
