@@ -53,6 +53,12 @@ def _wait_for_device(jax, budget_s: float = 900.0, poll_s: float = 30.0):
 
 
 def main():
+    # grid-sized numpy buffers must recycle warm heap pages: without this
+    # a long multi-leg run's later extractions re-fault every large
+    # buffer (measured 10x on the 512^3 host share — utils/host.py)
+    from vtaco_tpu.utils.host import enable_heap_reuse
+
+    enable_heap_reuse()
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--nx", type=int, default=128)

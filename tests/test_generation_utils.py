@@ -243,3 +243,11 @@ def test_crop_model_pipeline(rng):
     vd = dec.init(jax.random.PRNGKey(0), p, fea)
     out = dec.apply(vd, p, fea)
     assert out.shape == (B, 16)
+
+
+def test_heap_reuse_applies():
+    """glibc accepts the serving hosts' large-allocation heap-reuse
+    mallopt (utils/host.py); non-glibc returns False instead of raising."""
+    from vtaco_tpu.utils.host import enable_heap_reuse
+
+    assert enable_heap_reuse() in (True, False)

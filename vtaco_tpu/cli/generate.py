@@ -38,8 +38,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from vtaco_tpu.core.cache import enable_persistent_cache
+    from vtaco_tpu.utils.host import enable_heap_reuse
 
     enable_persistent_cache()
+    enable_heap_reuse()  # recycle grid-sized host buffers (utils/host.py)
 
     from vtaco_tpu.core.checkpoint import CheckpointIO
     from vtaco_tpu.core.config import get_dataset, get_model, load_config

@@ -104,6 +104,11 @@ struct Mise {
   Buf<uint8_t> bytes_tmp;     // upsample ping-pong (known / voxel_active)
   std::vector<int32_t> qpts;  // cached query() result, (n, 3)
   bool q_valid = false;
+  // update() defers recompute_active(): the mask is only consumed by
+  // query() and increase_resolution(), so the final level's full-grid
+  // occupancy+voxel pass (the largest of the flight — ~1 GB of traffic
+  // at 513^3) is skipped entirely when the caller only reads values.
+  bool active_dirty = false;
 
   int64_t n1() const { return reso + 1; }
 
@@ -137,9 +142,17 @@ struct Mise {
     q_valid = false;
   }
 
+  void flush_active() {
+    if (active_dirty) {
+      recompute_active();
+      active_dirty = false;
+    }
+  }
+
   // query = points with ~known & value_active (corner adjacent to any
   // active voxel), in numpy.where (C-order lexicographic) order.
   void compute_query() {
+    flush_active();
     if (q_valid) return;
     const int64_t n = n1(), R = reso;
     va_scratch.assign((size_t)(n * n * n), 0);
@@ -174,7 +187,8 @@ struct Mise {
       values[idx] = vals[i];
       known[idx] = 1;
     }
-    recompute_active();
+    active_dirty = true;
+    q_valid = false;
   }
 
   // update the cached query points in query order (skips re-passing pts)
@@ -184,6 +198,7 @@ struct Mise {
   }
 
   void increase_resolution() {
+    flush_active();  // the stale mask must not be upsampled
     const int64_t n_old = n1(), R_old = reso;
     reso *= 2;
     const int64_t n_new = n1(), R_new = reso;
