@@ -86,13 +86,22 @@ def _stub(name, **attrs):
     return mod
 
 
+_TORCH_SCATTER = None
+
+
 def install_shims():
     """Register stand-ins for the reference's missing native deps."""
     # always (re)install the REAL pure-torch implementation: test_mano.py
     # may have seeded an inert stub earlier in the same process, and
     # src.encoder.pointnet/voxels bind these names at their import — rebind
-    # their module globals too if they are already loaded
-    real = _make_torch_scatter()
+    # their module globals too if they are already loaded. The shim is a
+    # process singleton: reference modules compare bound functions by
+    # identity (`self.scatter == scatter_max`, pointnet.py:128), so a
+    # rebuilt shim would break models constructed before the rebuild.
+    global _TORCH_SCATTER
+    if _TORCH_SCATTER is None:
+        _TORCH_SCATTER = _make_torch_scatter()
+    real = _TORCH_SCATTER
     sys.modules["torch_scatter"] = real
     for name in ("src.encoder.pointnet", "src.encoder.voxels"):
         m = sys.modules.get(name)

@@ -77,6 +77,7 @@ class Generator3D:
         use_pallas="auto",
         transfer_dtype="auto",
         coord_quant="auto",
+        band_transfer="auto",
     ):
         """``matmul_precision``: precision context for the encoder/decoder
         applies ('highest' preserves the package default for metric parity;
@@ -114,7 +115,18 @@ class Generator3D:
         lossless compact encodings (lattice/dense-cube detection) have
         been tried; False pins exact f32 uploads, True forces uint16
         even off-TPU. Lattice-structured inputs are unaffected (they
-        take the smaller exact uint8/int16 encoding either way)."""
+        take the smaller exact uint8/int16 encoding either way).
+
+        ``band_transfer``: dense-decode → marching-cubes transfers ship
+        only the iso-band (1 bit/vertex occupancy mask + exact f32
+        logits at corners of iso-crossing cells — the only values
+        marching cubes ever interpolates) instead of the full nx³
+        volume: ~10× smaller payload through a thin host link, meshes
+        bit-identical to the full f32 transfer (tests/test_band.py).
+        'auto' (default) enables it on TPU; True/False pin it.
+        Overflowing the fixed-size band buffer (degenerate fields:
+        noise crossing the level everywhere) falls back to the full
+        transfer."""
         self.model = model
         self.matmul_precision = matmul_precision
         self._apply_cache = {}
@@ -160,6 +172,13 @@ class Generator3D:
                 f"got {coord_quant!r}"
             )
         self.coord_quant = coord_quant
+        if band_transfer not in ("auto", True, False):
+            raise ValueError(
+                "generation.band_transfer must be 'auto', true, or false; "
+                f"got {band_transfer!r}"
+            )
+        self.band_transfer = band_transfer
+        self.band_overflows = 0  # full-transfer fallbacks (observability)
         self.resolution0 = resolution0
         self.upsampling_steps = upsampling_steps
         self.padding = padding
@@ -187,6 +206,11 @@ class Generator3D:
             self._decode_dense_fast_impl,
             static_argnames=("nx", "gating", "dtype", "use_pallas", "leaky",
                              "pallas_tile", "out_dtype", "out_xmajor"),
+        )
+        self._decode_dense_band = jax.jit(
+            self._decode_dense_band_impl,
+            static_argnames=("nx", "gating", "dtype", "use_pallas", "leaky",
+                             "cap", "level_mode"),
         )
         # lattice_reso is a TRACED operand (None vs scalar picks the
         # program; the value doesn't) so every MISE level shares one
@@ -272,6 +296,7 @@ class Generator3D:
                "use_pallas": gen.get("use_pallas", "auto"),
                "transfer_dtype": gen.get("transfer_dtype", "auto"),
                "coord_quant": gen.get("coord_quant", "auto"),
+               "band_transfer": gen.get("band_transfer", "auto"),
                # same source of truth as the trainer's contact sampling
                "legacy_gt_depth":
                    cfg["training"].get("legacy_gt_depth", True),
@@ -470,6 +495,22 @@ class Generator3D:
             logits = logits.reshape(nx, nx, nx).transpose(2, 1, 0).reshape(-1)
         return self._finalize_logits(logits, out_dtype)
 
+    def _decode_dense_band_impl(self, trunk_params, c, gate_pts, gate_feat,
+                                gate_valid, level_const, nx, gating, dtype,
+                                use_pallas=False, leaky=False,
+                                cap=0, level_mode="midpoint"):
+        """Dense decode + in-program iso-band extraction (generate/band.py):
+        one XLA program emitting (count, level, packed occupancy bits,
+        active-vertex logits) — the complete marching-cubes input at ~1/10
+        of the full-volume transfer payload."""
+        from vtaco_tpu.generate.band import band_extract
+
+        logits = self._decode_dense_fast_impl(
+            trunk_params, c, gate_pts, gate_feat, gate_valid, nx, gating,
+            dtype, use_pallas, leaky, out_dtype=None, out_xmajor=True,
+        )
+        return band_extract(logits, nx, cap, level_mode, level_const)
+
     def _decode_scatter_fast_impl(self, trunk_params, p_cn, c, gate_pts,
                                   gate_feat, gate_valid, gating, dtype,
                                   use_pallas=False, leaky=False,
@@ -655,6 +696,67 @@ class Generator3D:
             return logits
         td = _legacy_transfer_dtype(transfer_dtype)
         return np.asarray(logits.astype(td)).astype(np.float32)
+
+    def _band_enabled(self):
+        """Resolve ``band_transfer``: 'auto' means TPU backend only (the
+        parity/CPU suites default to exact full transfers; the band's
+        value is the thin host link)."""
+        if self.band_transfer == "auto":
+            return jax.default_backend() == "tpu"
+        return bool(self.band_transfer)
+
+    def eval_points_dense_band(self, state, nx, c, gating="none",
+                               gate_pts=None, gate_feat=None,
+                               gate_valid=None, dtype=jnp.float32,
+                               cap=None, use_pallas=None):
+        """Dense nx³ decode shipping only the iso-band (generate/band.py).
+
+        Returns ``(value_grid, level)``: a host (nx, nx, nx) f32 grid
+        whose marching-cubes output at ``level`` is bit-identical to the
+        full f32 transfer's, and the in-program iso level (resolved from
+        ``self.mc_level``: grid midpoint / mean / fixed logit). Non-band
+        vertices hold sign-correct filler (level ± 1) — do NOT use this
+        grid for value metrics; it exists for isosurface extraction.
+        Band-buffer overflow (count > cap) falls back to the full f32
+        transfer (counted in ``self.band_overflows``).
+        """
+        from vtaco_tpu.generate.band import band_reconstruct, default_cap
+
+        if gate_pts is None:
+            gate_pts = jnp.zeros((1, 3))
+            gate_feat = jnp.zeros((1, 1))
+            gate_valid = jnp.zeros((1,), bool)
+        if cap is None:
+            cap = default_cap(nx)
+        if self.mc_level == "midpoint":
+            level_mode, level_const = "midpoint", 0.0
+        elif self.mc_level == "mean":
+            level_mode, level_const = "mean", 0.0
+        else:
+            level_mode, level_const = "const", float(self.mc_level)
+        tp_args = self._dense_fast_args(state, nx, c, gating, gate_pts,
+                                        gate_feat, gate_valid, dtype,
+                                        use_pallas)
+        (tp, c_, gp, gf, gv, nx_, gating_, dtype_, up, leaky) = tp_args
+        count, level, packed, vals = jax.device_get(
+            self._decode_dense_band(
+                tp, c_, gp, gf, gv, jnp.float32(level_const), nx_, gating_,
+                dtype_, up, leaky, cap=cap, level_mode=level_mode,
+            )
+        )
+        count = int(count)
+        level = float(level)
+        if count > cap:
+            # degenerate field: band larger than the buffer — ship the
+            # volume instead (exact same result, fat payload)
+            self.band_overflows += 1
+            values = self.eval_points_dense(
+                state, nx, c, gating, gate_pts, gate_feat, gate_valid,
+                dtype=dtype, transfer_dtype=jnp.float32,
+                use_pallas=use_pallas,
+            )
+            return values.reshape(nx, nx, nx), level
+        return band_reconstruct(nx, level, count, packed, vals), level
 
     def _dense_fast_args(self, state, nx, c, gating, gate_pts, gate_feat,
                          gate_valid, dtype, use_pallas):
@@ -1716,17 +1818,24 @@ class Generator3D:
                 gate_feat = c_img[0]                            # (5, C)
                 gate_valid = touch[0]
 
-        values = self.eval_points_dense(
-            state, nx, c, gating, gate_pts, gate_feat, gate_valid,
-            transfer_dtype=self.transfer_dtype,
-        )
-        value_grid = values.reshape(nx, nx, nx)
+        if self._band_enabled():
+            # sparse iso-band transfer: ~1/10 the payload, mesh
+            # bit-identical to the full f32 transfer (generate/band.py)
+            value_grid, level = self.eval_points_dense_band(
+                state, nx, c, gating, gate_pts, gate_feat, gate_valid,
+            )
+        else:
+            values = self.eval_points_dense(
+                state, nx, c, gating, gate_pts, gate_feat, gate_valid,
+                transfer_dtype=self.transfer_dtype,
+            )
+            value_grid = values.reshape(nx, nx, nx)
 
-        level = None  # midpoint: marching_cubes' skimage-parity default
-        if self.mc_level == "mean":
-            level = float(value_grid.mean())
-        elif isinstance(self.mc_level, (int, float)):
-            level = float(self.mc_level)
+            level = None  # midpoint: marching_cubes' skimage default
+            if self.mc_level == "mean":
+                level = float(value_grid.mean())
+            elif isinstance(self.mc_level, (int, float)):
+                level = float(self.mc_level)
         verts, faces = marching_cubes(value_grid, level=level,
                                       gradient="ascent")
         verts = verts - np.array([nx / 2, nx / 2, nx / 2], np.float32)

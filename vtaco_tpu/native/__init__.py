@@ -24,8 +24,17 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
+
+# First-use builds can race when the first call into an extension happens
+# on several host_map worker threads at once (e.g. marching cubes inside
+# the batched inferencer): two g++ invocations writing the same .so, with
+# a CDLL of the partially written file failing and silently degrading the
+# caller to the slow numpy fallback. One lock serializes build+load; the
+# per-facade ``_lib`` checks stay cheap after initialization.
+_BUILD_LOCK = threading.Lock()
 
 
 def _generate_tables_header(hdr):
@@ -55,7 +64,7 @@ def _build_and_load(name, pre_build=None, extra_deps=()):
             pre_build()
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-             "-fPIC", src, "-o", so],
+             "-fPIC", "-pthread", src, "-o", so],
             check=True, capture_output=True,
         )
     return ctypes.CDLL(so)
@@ -70,6 +79,13 @@ class _MC:
 
     def _ensure(self):
         if self._lib is None:
+            with _BUILD_LOCK:
+                if self._lib is not None:
+                    return self._lib
+                self._lib = self._load()
+        return self._lib
+
+    def _load(self):
             lib = _build_and_load(
                 "mc",
                 pre_build=lambda: _generate_tables_header(
@@ -88,6 +104,11 @@ class _MC:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_float,
             ]
+            lib.vtaco_mc_run_t.restype = ctypes.c_void_p
+            lib.vtaco_mc_run_t.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_float, ctypes.c_int,
+            ]
             lib.vtaco_mc_num_verts.restype = ctypes.c_int64
             lib.vtaco_mc_num_verts.argtypes = [ctypes.c_void_p]
             lib.vtaco_mc_num_faces.restype = ctypes.c_int64
@@ -97,18 +118,54 @@ class _MC:
                 ctypes.POINTER(ctypes.c_int32),
             ]
             lib.vtaco_mc_free.argtypes = [ctypes.c_void_p]
-            self._lib = lib
-        return self._lib
+            lib.vtaco_band_reconstruct.restype = ctypes.c_int64
+            lib.vtaco_band_reconstruct.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            return lib
 
-    def marching_cubes(self, volume, level):
+    def band_reconstruct(self, nx, level, count, packed, vals):
+        """Full (nx, nx, nx) f32 grid from a device band payload (see
+        vtaco_tpu/generate/band.py). Raises on mask/count mismatch."""
+        import numpy as np
+
+        lib = self._ensure()
+        packed = np.ascontiguousarray(packed, np.uint8)
+        vals = np.ascontiguousarray(vals, np.float32)
+        out = np.empty((nx, nx, nx), np.float32)
+        k = lib.vtaco_band_reconstruct(
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(count), nx, nx, nx, ctypes.c_float(level),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if k != count:
+            raise ValueError(
+                f"band payload inconsistent: mask implies {k} active "
+                f"vertices, device counted {count}"
+            )
+        return out
+
+    def marching_cubes(self, volume, level, threads=None):
+        """``threads=None`` picks x-slab parallelism from the host's core
+        count for big grids (≥128³); vertices on slab-boundary planes are
+        welded in C++ so the mesh stays duplicate-free. threads=1 is
+        bit-deterministic (fixed discovery order)."""
         import numpy as np
 
         lib = self._ensure()
         vol = np.ascontiguousarray(volume, np.float32)
         nx, ny, nz = vol.shape
-        handle = lib.vtaco_mc_run(
+        if threads is None:
+            threads = 1
+            if nx * ny * nz >= 128**3:
+                threads = max(1, min(os.cpu_count() or 1, 8))
+        handle = lib.vtaco_mc_run_t(
             vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            nx, ny, nz, ctypes.c_float(level),
+            nx, ny, nz, ctypes.c_float(level), int(threads),
         )
         try:
             nv = lib.vtaco_mc_num_verts(handle)
@@ -138,6 +195,13 @@ class _Geom:
 
     def _ensure(self):
         if self._lib is None:
+            with _BUILD_LOCK:
+                if self._lib is not None:
+                    return self._lib
+                self._lib = self._load()
+        return self._lib
+
+    def _load(self):
             c_f = ctypes.POINTER(ctypes.c_float)
             c_i = ctypes.POINTER(ctypes.c_int32)
             lib = _build_and_load("geom")
@@ -173,8 +237,7 @@ class _Geom:
             lib.vtaco_mesh_num_faces.argtypes = [ctypes.c_void_p]
             lib.vtaco_mesh_copy.argtypes = [ctypes.c_void_p, c_f, c_i]
             lib.vtaco_mesh_free.argtypes = [ctypes.c_void_p]
-            self._lib = lib
-        return self._lib
+            return lib
 
     def nearest(self, points, queries):
         """NN of each query in points: (M,) squared dists, (M,) indices."""
@@ -275,6 +338,13 @@ class _Mise:
 
     def _ensure(self):
         if self._lib is None:
+            with _BUILD_LOCK:
+                if self._lib is not None:
+                    return self._lib
+                self._lib = self._load()
+        return self._lib
+
+    def _load(self):
             c_f = ctypes.POINTER(ctypes.c_float)
             c_i32 = ctypes.POINTER(ctypes.c_int32)
             lib = _build_and_load("mise")
@@ -302,8 +372,7 @@ class _Mise:
             lib.vtaco_mise_known.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
             ]
-            self._lib = lib
-        return self._lib
+            return lib
 
 
 mise = _Mise()
