@@ -869,6 +869,12 @@ def main():
                 "batched_objects": B,
                 "batched_total_s": round(t_batched, 3),
                 "batched_objects_per_sec": round(B / t_batched, 2),
+                # fixed-link restatement (40 MB/s, 150 ms RTT): bf16
+                # (B, nx³) download, encode + decode dispatches
+                "batched_objects_per_sec_norm40": round(
+                    B / norm40(t_batched,
+                               down_mb=B * nx**3 * 2 / 2**20, rtts=2), 2
+                ),
             }
             if pipeline_ok:
                 # host MC runs in a worker thread (C++ MC releases the GIL)
@@ -927,6 +933,10 @@ def main():
                 batched_detail["batched_objects_per_sec_int8"] = round(
                     B / t_b8, 2
                 )
+                batched_detail["batched_objects_per_sec_int8_norm40"] = (
+                    round(B / norm40(t_b8, down_mb=B * nx**3 / 2**20,
+                                     rtts=2), 2)
+                )
             except Exception as e:
                 batched_detail["batched_int8_error"] = repr(e)[:120]
 
@@ -963,8 +973,22 @@ def main():
                 t_r = time.time() - t0
                 if t_r < t_mise:
                     t_mise, t_refine_m, st_m = t_r, t_refine_r, st_r
+            def mise_norm40(t, st, coarse_n):
+                # int8 value downloads (coarse grid + per-level queries),
+                # int16-lattice coordinate uploads (6 B/pt), one dispatch
+                # per level + the coarse pass; host bookkeeping/MC ride
+                # through unchanged
+                q = sum(st["query_pts"])
+                return norm40(
+                    t, down_mb=(coarse_n + q) / 2**20,
+                    up_mb=6 * q / 2**20, rtts=1 + len(st["query_pts"]),
+                )
+
             mise_detail = {
                 "mise256_s": round(t_mise, 3),
+                "mise256_norm40_s": round(
+                    mise_norm40(t_mise, st_m, 65**3), 3
+                ),
                 "mise256_first_s": round(t_mise_first, 1),
                 "mise256_verts": int(len(verts_m)),
                 "mise256_split": {
@@ -1024,6 +1048,9 @@ def main():
                         t_mise5, t_refine5, st_5 = t_r5, t_refine_r5, st_r5
                 mise_detail.update(
                     mise512_s=round(t_mise5, 3),
+                    mise512_norm40_s=round(
+                        mise_norm40(t_mise5, st_5, 65**3), 3
+                    ),
                     mise512_first_s=round(t_mise5_first, 1),
                     mise512_verts=int(len(v5)),
                     mise512_split={
@@ -1093,6 +1120,15 @@ def main():
                     mise256_batched_objects=Bm,
                     mise256_batched_total_s=round(t_mise_b, 3),
                     mise256_batched_objects_per_sec=round(Bm / t_mise_b, 2),
+                    mise256_batched_objects_per_sec_norm40=round(
+                        Bm / norm40(
+                            t_mise_b,
+                            down_mb=(Bm * 65**3
+                                     + Bm * sum(st_b["query_pts"])) / 2**20,
+                            up_mb=up_mb,
+                            rtts=1 + len(st_b["query_pts"]),
+                        ), 2
+                    ),
                     # device refinement (incl. per-level transfers + host
                     # bookkeeping) vs host-MC split of the best run
                     mise256_batched_refine_s=round(split[0], 3),
@@ -1316,12 +1352,23 @@ def main():
                             "remat": bool(args.train_remat),
                         }
                     }
-                    for B_s, remat_s in ((6, False), (12, True)):
+                    # B=12 remat variants, cheapest recompute first:
+                    # 'finest' remats only the full-resolution UNet blocks
+                    # (the activation peak; coarser levels are 8× smaller
+                    # per level) with NO trainer-level checkpointing;
+                    # fall back to all-blocks + whole-module remat (the r4
+                    # recipe) if the lighter one OOMs (VERDICT r4 item 6).
+                    for B_s, remat_s in ((6, False), (12, "finest"),
+                                         (12, True)):
                         if B_s == args.train_batch:
                             continue
+                        if (remat_s is True
+                                and scal_detail.get("12", {}).get(
+                                    "samples_per_sec")):
+                            continue  # finest-remat already succeeded
                         try:
                             _mark(f"train batch-scaling B={B_s}"
-                                  f"{' (remat)' if remat_s else ''}")
+                                  f"{f' (remat={remat_s})' if remat_s else ''}")
                             if remat_s:
                                 # per-block UNet3D remat (same param tree):
                                 # trainer-level jax.checkpoint alone still
@@ -1333,10 +1380,11 @@ def main():
                                 rcfg = _copy.deepcopy(tcfg)
                                 rcfg["model"]["encoder_kwargs"].setdefault(
                                     "unet3d_kwargs", {}
-                                )["remat"] = True
+                                )["remat"] = remat_s
                                 model_r, _ = get_model(rcfg)
                                 tr_s = Trainer.from_config(
-                                    model_r, rcfg, mesh_bank=bank, remat=True,
+                                    model_r, rcfg, mesh_bank=bank,
+                                    remat=remat_s is True,
                                     skip_unused_t2d=True,
                                     compute_dtype="bfloat16",
                                 )

@@ -86,6 +86,26 @@ def test_unet3d_remat_parity(rng):
         g, g_r,
     )
 
+    # 'finest' (remat only the full-resolution blocks — the targeted B=12
+    # memory mode): same tree, same outputs/grads
+    net_f = UNet3D(out_channels=8, f_maps=8, num_levels=2, remat="finest")
+    v_f = net_f.init(RNG, x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_f)
+    np.testing.assert_allclose(
+        net.apply(v, x, train=True), net_f.apply(v, x, train=True),
+        rtol=1e-5, atol=2e-6,
+    )
+    g_f = jax.grad(lambda p: net_f.apply(p, x, train=True).sum())(v)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4),
+        g, g_f,
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        UNet3D(out_channels=8, f_maps=8, num_levels=2,
+               remat="typo").init(RNG, x, train=False)
+
 
 def test_small_channel_conv3_matches_conv3d(rng):
     """SmallChannelConv3 (three depth-shifted 2D convs) must equal the

@@ -565,7 +565,13 @@ class Generator3D:
         ``plane_type: 'grid'``); the host wrapper guarantees every
         point's super-cell lies inside its tile's window (margin-checked
         against the exact same f32 math) and falls back to the gather
-        path otherwise."""
+        path otherwise.
+
+        PRECONDITION: ``p_cn``'s padded length must EXCEED the number of
+        real points — the overflow sentinel overwrites slot [-1] of the
+        result, so a caller without a padding slot loses the last real
+        logit. `_window_plan` guarantees this for the shipped caller
+        (`_try_window_scatter` asserts it where the true n is known)."""
         from vtaco_tpu.ops import fast_trunk as FT
         from vtaco_tpu.ops.dense_decode import supercell_packed_volume
         from vtaco_tpu.ops.pallas.decode import (
@@ -1252,6 +1258,10 @@ class Generator3D:
         if chosen is None:
             return None                    # window overrun → gather path
         L, tile, npad, order = chosen
+        # the kernel impl overwrites slot [-1] with its overflow sentinel
+        # (see _decode_scatter_window_impl): a padding slot MUST exist or
+        # the last real point's logit is silently lost
+        assert npad > n, (npad, n)
         pts_cn = self._window_payload(pf32, order, npad, quantize)
 
         td = jnp.dtype(transfer_dtype)

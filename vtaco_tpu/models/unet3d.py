@@ -196,11 +196,15 @@ class Abstract3DUNet(nn.Module):
     num_groups: int = 8
     num_levels: int = 4
     basic_module: str = "double_conv"  # 'double_conv' | 'ext_resnet'
-    # rematerialize each conv block in the backward pass: peak activation
+    # rematerialize conv blocks in the backward pass: peak activation
     # memory drops from the whole-UNet chain to one block's internals plus
     # the block-boundary residuals — what makes B=12 at 64³ fit on one chip.
-    # nn.remat preserves the parameter tree, so checkpoints interchange.
-    remat: bool = False
+    # True remats every block; 'finest' only the full-resolution blocks
+    # (the first encoder and last decoder — the memory peak; coarser
+    # levels are 8× smaller per level, so rematting them buys almost no
+    # memory while still paying their recompute). nn.remat preserves the
+    # parameter tree, so checkpoints interchange across settings.
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -209,13 +213,22 @@ class Abstract3DUNet(nn.Module):
             f_maps = number_of_features_per_level(f_maps, self.num_levels)
 
         use_double = self.basic_module == "double_conv"
-        DC, ERB = DoubleConv, ExtResNetBlock
-        if self.remat:
-            DC = nn.remat(DoubleConv, static_argnums=(2,))
-            ERB = nn.remat(ExtResNetBlock, static_argnums=(2,))
+        if self.remat not in (False, True, "finest"):
+            raise ValueError(
+                f"unet3d remat must be false, true or 'finest'; got "
+                f"{self.remat!r}"
+            )
+        DC_r = nn.remat(DoubleConv, static_argnums=(2,))
+        ERB_r = nn.remat(ExtResNetBlock, static_argnums=(2,))
+
+        def blocks(finest):
+            if self.remat is True or (self.remat == "finest" and finest):
+                return DC_r, ERB_r
+            return DoubleConv, ExtResNetBlock
 
         encoders_features = []
         for i, out_f in enumerate(f_maps):
+            DC, ERB = blocks(finest=i == 0)
             if i > 0:
                 x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
             if use_double:
@@ -233,6 +246,7 @@ class Abstract3DUNet(nn.Module):
         encoders_features = encoders_features[1:]
         rev = list(reversed(f_maps))
         for i, enc_f in enumerate(encoders_features):
+            DC, ERB = blocks(finest=i == len(encoders_features) - 1)
             out_f = rev[i + 1]
             tgt = enc_f.shape[1:4]
             if use_double:

@@ -71,7 +71,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _put(tree, sharding: NamedSharding):
+def put_global(tree, sharding: NamedSharding):
     """device_put, or per-process assembly when the mesh spans hosts.
 
     In a multi-process runtime ``jax.device_put`` cannot address other
@@ -87,9 +87,12 @@ def _put(tree, sharding: NamedSharding):
     return jax.device_put(tree, sharding)
 
 
+_put = put_global  # back-compat alias
+
+
 def shard_batch(mesh: Mesh, tree):
-    return _put(tree, batch_sharding(mesh))
+    return put_global(tree, batch_sharding(mesh))
 
 
 def replicate(mesh: Mesh, tree):
-    return _put(tree, replicated(mesh))
+    return put_global(tree, replicated(mesh))

@@ -344,16 +344,23 @@ class Trainer:
         if self.device_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from vtaco_tpu.parallel.mesh import put_global
+
             n_data = self.device_mesh.shape["data"]
             batch_sh = NamedSharding(self.device_mesh, P("data"))
             repl_sh = NamedSharding(self.device_mesh, P())
+            nproc = jax.process_count()
 
             def put(v):
-                # replicate anything whose batch axis doesn't divide the
-                # mesh (e.g. the B=1 eval batches)
+                # multi-host: this process's batch holds only ITS rows;
+                # the global batch axis is lead × process_count
+                # (parallel/multihost.py step 3). Replicate anything
+                # whose global batch axis doesn't divide the mesh (e.g.
+                # the B=1 eval batches — single-host only: replicated
+                # assembly requires identical rows on every process).
                 lead = jax.tree.leaves(v)[0].shape[0]
-                sh = batch_sh if lead % n_data == 0 else repl_sh
-                return jax.device_put(v, sh)
+                sh = batch_sh if (lead * nproc) % n_data == 0 else repl_sh
+                return put_global(v, sh)
 
             a = {k: put(v) for k, v in a.items()}
         return a
