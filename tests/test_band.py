@@ -120,6 +120,41 @@ def test_generator_band_path_matches_full(rng):
     assert np.array_equal(v1, v2) and np.array_equal(f1, f2)
 
 
+def test_batched_band_matches_per_object(rng):
+    """decode_dense_batched_band: per-object band grids mesh identically
+    to the full f32 batched transfer; overflow falls back per object."""
+    from tests.test_fast_decode import _setup
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1)
+    B, nx = 3, 16
+    cB = jax.tree.map(
+        lambda x: jnp.concatenate([x * (1.0 + 0.1 * b) for b in range(B)],
+                                  axis=0),
+        c_planes,
+    )
+    full = gen.decode_dense_batched(state, nx, cB,
+                                    transfer_dtype=jnp.float32)
+    grids, levels = gen.decode_dense_batched_band(state, nx, cB)
+    assert len(grids) == B and gen.band_overflows == 0
+    for b in range(B):
+        gf = full[b].reshape(nx, nx, nx)
+        want = (float(gf.min()) + float(gf.max())) / 2
+        assert levels[b] == pytest.approx(want, abs=1e-5)
+        v1, f1 = marching_cubes(gf, level=levels[b])
+        v2, f2 = marching_cubes(grids[b], level=levels[b])
+        assert np.array_equal(v1, v2) and np.array_equal(f1, f2)
+
+    # overflow: cap=1 forces the per-object full-volume fallback
+    grids_of, _ = gen.decode_dense_batched_band(state, nx, cB, cap=1)
+    assert gen.band_overflows == B
+    for b in range(B):
+        np.testing.assert_allclose(
+            grids_of[b], full[b].reshape(nx, nx, nx), atol=1e-6
+        )
+
+
 def test_band_mc_level_modes(rng):
     """'mean' and fixed-logit mc_level settings resolve in-program."""
     from tests.test_fast_decode import _setup

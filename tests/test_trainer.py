@@ -264,6 +264,18 @@ def test_vtacoh_img_path(synth):
     state, sc = tr.train_step(state, batch)
     assert all(np.isfinite(list(sc.values())))
 
+    # fused band mesh program, 'tips' gating mode (VTacOH: with_img,
+    # no t2d — fingertip-proximity features from the in-program MANO pass)
+    from vtaco_tpu.generate.generator import Generator3D
+
+    cfg["generation"]["resolution_0"] = 8
+    genh = Generator3D.from_config(model, cfg, band_transfer=True)
+    val = get_dataset("val", cfg, return_idx=True)
+    vb1 = next(iter(BatchLoader(val, 1, shuffle=False, num_workers=1)))
+    (vh, fh), _, cdh = genh.generate_obj_mesh_wnf(state, vb1)
+    assert np.isfinite(cdh) and genh.band_overflows == 0
+    assert fh.ndim == 2 and fh.shape[1] == 3
+
 
 def test_checkpoint_roundtrip(synth, tmp_path):
     from vtaco_tpu.core.checkpoint import CheckpointIO
@@ -340,6 +352,36 @@ def test_generator_obj_mesh(synth):
     assert faces.ndim == 2 and faces.shape[1] == 3
     hv, hf = gen.generate_hand_mesh(state, vb)
     assert hv.shape == (778, 3) and hf.shape[1] == 3
+
+    # fused one-dispatch band path (encode + contact gates + gated decode
+    # + iso-band in ONE program, generator._mesh_band_impl) vs the
+    # multi-dispatch legacy path at exact f32 transfer: same surface up to
+    # XLA fusion drift (the programs differ, the math doesn't)
+    gen_f32 = Generator3D.from_config(model, cfg, contact_per_finger=32,
+                                      transfer_dtype="float32")
+    (v_ref, _), _, _ = gen_f32.generate_obj_mesh_wnf(state, vb)
+    gen_b = Generator3D.from_config(model, cfg, contact_per_finger=32,
+                                    band_transfer=True)
+    (v_b, f_b), emd_b, cd_b = gen_b.generate_obj_mesh_wnf(state, vb)
+    assert np.isfinite(cd_b) and gen_b.band_overflows == 0
+    assert f_b.shape[1] == 3 and len(v_b) > 0
+    from vtaco_tpu import native
+
+    for a, b in ((v_ref, v_b), (v_b, v_ref)):
+        d2, _ = native.geom.nearest(a, b)
+        assert float(np.sqrt(d2.max())) < 5e-3, np.sqrt(d2.max())
+
+    # eval_points_dense_band(inputs=...) — encode fused into the band
+    # program — must match the two-dispatch c= variant (same math,
+    # different program boundaries)
+    import jax.numpy as jnp
+
+    inputs1 = jnp.asarray(vb["inputs"])
+    cc = gen_b._apply(state, model.encode_inputs, inputs1, train=False)
+    g1, l1 = gen_b.eval_points_dense_band(state, 16, cc)
+    g2, l2 = gen_b.eval_points_dense_band(state, 16, inputs=inputs1)
+    assert abs(l1 - l2) < 1e-5
+    np.testing.assert_allclose(g1, g2, atol=1e-4)
 
     # mc_level options flow from config and produce (possibly empty) meshes
     cfg["generation"]["mc_level"] = "mean"

@@ -212,6 +212,16 @@ class Generator3D:
             static_argnames=("nx", "gating", "dtype", "use_pallas", "leaky",
                              "cap", "level_mode"),
         )
+        self._encode_band = jax.jit(
+            self._encode_band_impl,
+            static_argnames=("nx", "gating", "dtype", "use_pallas", "leaky",
+                             "cap", "level_mode"),
+        )
+        self._mesh_band = jax.jit(
+            self._mesh_band_impl,
+            static_argnames=("nx", "mode", "dtype", "use_pallas", "leaky",
+                             "cap", "level_mode", "legacy_gt"),
+        )
         # lattice_reso is a TRACED operand (None vs scalar picks the
         # program; the value doesn't) so every MISE level shares one
         # compiled program instead of recompiling per resolution
@@ -511,6 +521,72 @@ class Generator3D:
         )
         return band_extract(logits, nx, cap, level_mode, level_const)
 
+    def _encode_band_impl(self, variables, trunk_params, inputs, gate_pts,
+                          gate_feat, gate_valid, level_const, nx, gating,
+                          dtype, use_pallas=False, leaky=False, cap=0,
+                          level_mode="midpoint"):
+        """encode_inputs + dense decode + band extraction as ONE program:
+        the per-object serving path pays a single dispatch RTT instead of
+        encode + decode (the tunnel RTT is ~the device compute here)."""
+        with jax.default_matmul_precision(self.matmul_precision):
+            c = self.model.apply(variables, inputs, train=False,
+                                 method=self.model.encode_inputs)
+        return self._decode_dense_band_impl(
+            trunk_params, c, gate_pts, gate_feat, gate_valid, level_const,
+            nx, gating, dtype, use_pallas, leaky, cap, level_mode,
+        )
+
+    def _mesh_band_impl(self, variables, trunk_params, inputs, imgs,
+                        depths, touch, cam_rot, cam_pos, pc_ply, wrist_t,
+                        wrist_rot, d_origin, seed, level_const, nx, mode,
+                        dtype, use_pallas=False, leaky=False, cap=0,
+                        level_mode="midpoint", legacy_gt=True):
+        """The COMPLETE per-object mesh-extraction device program: object
+        encode, tactile-feature encode, contact/tips gate construction
+        (generation.py:159-255 — host numpy in the reference, and
+        previously dozens of eager dispatches here) and the gated dense
+        decode + iso-band extraction, in ONE dispatch. The host's only
+        remaining work is band reconstruction + marching cubes."""
+        model = self.model
+        with jax.default_matmul_precision(self.matmul_precision):
+            c = model.apply(variables, inputs, train=False,
+                            method=model.encode_inputs)
+            if mode == "none":
+                gp = jnp.zeros((1, 3))
+                gf = jnp.zeros((1, 1))
+                gv = jnp.zeros((1,), bool)
+            else:
+                c_img = model.apply(variables, imgs, train=False,
+                                    method=model.encode_img_inputs)
+                gf = c_img[0]
+                if mode == "contact":
+                    H, W = imgs.shape[2], imgs.shape[3]
+                    if legacy_gt:
+                        # GT-depth gating (the reference overwrite quirk,
+                        # training.py:691-693): the t2d forward is dead —
+                        # skip it entirely
+                        pred = jnp.zeros_like(depths[0])
+                    else:
+                        pred, _ = model.apply(variables, inputs, imgs,
+                                              train=False,
+                                              method=model.encode_t2d)
+                        pred = pred[0]
+                    gp, gv = self._prep_contact_gates(
+                        depths[0], pred, d_origin, touch[0], cam_rot[0],
+                        cam_pos[0], pc_ply[0], H, W, seed=seed,
+                    )
+                else:  # tips
+                    c_hand = model.apply(variables, inputs, train=False,
+                                         method=model.encode_hand_inputs)
+                    gp = C.tips_in_object_frame(
+                        c_hand["mano_joints"], wrist_t, wrist_rot, pc_ply
+                    )[0]
+                    gv = touch[0]
+        return self._decode_dense_band_impl(
+            trunk_params, c, gp, gf, gv, level_const, nx, mode, dtype,
+            use_pallas, leaky, cap, level_mode,
+        )
+
     def _decode_scatter_fast_impl(self, trunk_params, p_cn, c, gate_pts,
                                   gate_feat, gate_valid, gating, dtype,
                                   use_pallas=False, leaky=False,
@@ -711,10 +787,17 @@ class Generator3D:
             return jax.default_backend() == "tpu"
         return bool(self.band_transfer)
 
-    def eval_points_dense_band(self, state, nx, c, gating="none",
+    def _band_level_args(self):
+        if self.mc_level == "midpoint":
+            return "midpoint", 0.0
+        if self.mc_level == "mean":
+            return "mean", 0.0
+        return "const", float(self.mc_level)
+
+    def eval_points_dense_band(self, state, nx, c=None, gating="none",
                                gate_pts=None, gate_feat=None,
                                gate_valid=None, dtype=jnp.float32,
-                               cap=None, use_pallas=None):
+                               cap=None, use_pallas=None, inputs=None):
         """Dense nx³ decode shipping only the iso-band (generate/band.py).
 
         Returns ``(value_grid, level)``: a host (nx, nx, nx) f32 grid
@@ -725,6 +808,11 @@ class Generator3D:
         grid for value metrics; it exists for isosurface extraction.
         Band-buffer overflow (count > cap) falls back to the full f32
         transfer (counted in ``self.band_overflows``).
+
+        ``inputs`` (B=1 object cloud) instead of ``c``: the object encode
+        runs INSIDE the same program — one dispatch for encode + decode +
+        band (the per-object serving path; each extra dispatch costs a
+        host-link RTT).
         """
         from vtaco_tpu.generate.band import band_reconstruct, default_cap
 
@@ -734,28 +822,43 @@ class Generator3D:
             gate_valid = jnp.zeros((1,), bool)
         if cap is None:
             cap = default_cap(nx)
-        if self.mc_level == "midpoint":
-            level_mode, level_const = "midpoint", 0.0
-        elif self.mc_level == "mean":
-            level_mode, level_const = "mean", 0.0
+        level_mode, level_const = self._band_level_args()
+        if inputs is not None:
+            from vtaco_tpu.ops import fast_trunk as FT
+
+            if use_pallas is None:
+                use_pallas = self._pallas_enabled()
+            decoder = self.model.decoder
+            tp = FT.extract_trunk_params(
+                state.params["decoder"], decoder.n_blocks,
+                with_img=gating != "none",
+            )
+            raw = self._encode_band(
+                self._vars(state), tp, inputs, gate_pts, gate_feat,
+                gate_valid, jnp.float32(level_const), nx, gating,
+                jnp.dtype(dtype), use_pallas,
+                getattr(decoder, "leaky", False), cap=cap,
+                level_mode=level_mode,
+            )
         else:
-            level_mode, level_const = "const", float(self.mc_level)
-        tp_args = self._dense_fast_args(state, nx, c, gating, gate_pts,
-                                        gate_feat, gate_valid, dtype,
-                                        use_pallas)
-        (tp, c_, gp, gf, gv, nx_, gating_, dtype_, up, leaky) = tp_args
-        count, level, packed, vals = jax.device_get(
-            self._decode_dense_band(
+            tp_args = self._dense_fast_args(state, nx, c, gating, gate_pts,
+                                            gate_feat, gate_valid, dtype,
+                                            use_pallas)
+            (tp, c_, gp, gf, gv, nx_, gating_, dtype_, up, leaky) = tp_args
+            raw = self._decode_dense_band(
                 tp, c_, gp, gf, gv, jnp.float32(level_const), nx_, gating_,
                 dtype_, up, leaky, cap=cap, level_mode=level_mode,
             )
-        )
+        count, level, packed, vals = jax.device_get(raw)
         count = int(count)
         level = float(level)
         if count > cap:
             # degenerate field: band larger than the buffer — ship the
             # volume instead (exact same result, fat payload)
             self.band_overflows += 1
+            if c is None:
+                c = self._apply(state, self.model.encode_inputs, inputs,
+                                train=False)
             values = self.eval_points_dense(
                 state, nx, c, gating, gate_pts, gate_feat, gate_valid,
                 dtype=dtype, transfer_dtype=jnp.float32,
@@ -1597,6 +1700,87 @@ class Generator3D:
         return np.asarray(logits).astype(np.float32)
 
     # ------------------------------------------------------------------
+    def decode_dense_batched_band(self, state, nx, c_batched,
+                                  device_mesh=None, dtype=jnp.float32,
+                                  use_pallas=None, cap=None):
+        """Batched dense decode with per-object iso-band transfer:
+        one dispatch for B objects, shipping each object's occupancy bit
+        mask + iso-crossing-corner logits instead of its (nx³,) volume
+        (~5× less than the bf16 transfer; meshes bit-match the full f32
+        path — generate/band.py). Returns ``(grids, levels)``: a list of
+        B (nx, nx, nx) f32 grids (band-reconstructed; per-object
+        overflow falls back to a full-volume fetch for that object) and
+        the per-object iso levels to pass to marching cubes.
+        """
+        from vtaco_tpu.generate.band import (
+            band_extract,
+            band_reconstruct,
+            default_cap,
+        )
+        from vtaco_tpu.generate.mise import host_map
+        from vtaco_tpu.ops import fast_trunk as FT
+
+        if cap is None:
+            cap = default_cap(nx)
+        level_mode, level_const = self._band_level_args()
+        tp = FT.extract_trunk_params(
+            state.params["decoder"], self.model.decoder.n_blocks,
+            with_img=False,
+        )
+        leaky = getattr(self.model.decoder, "leaky", False)
+        if use_pallas is None:
+            use_pallas = self._pallas_enabled()
+        use_pallas = bool(use_pallas) and not leaky
+        if use_pallas:
+            dtype = jnp.float32  # Mosaic rejects bf16 MXU dots (DESIGN.md)
+        cache = getattr(self, "_decode_dense_band_vmapped", None)
+        if cache is None:
+            cache = self._decode_dense_band_vmapped = {}
+        key = (nx, jnp.dtype(dtype).name, use_pallas, cap, level_mode)
+        if key not in cache:
+            def one(tp, c):
+                logits = self._decode_dense_fast_impl(
+                    tp, c, jnp.zeros((1, 3)), jnp.zeros((1, 1)),
+                    jnp.zeros((1,), bool), nx=nx, gating="none",
+                    dtype=dtype, use_pallas=use_pallas, leaky=leaky,
+                    pallas_tile=4096 if use_pallas else None,
+                    out_dtype=None, out_xmajor=True,
+                )
+                return band_extract(logits, nx, cap, level_mode,
+                                    level_const)
+
+            def batched(tp, cB):
+                B = jax.tree_util.tree_leaves(cB)[0].shape[0]
+                if B * nx ** 3 >= self.batched_vmap_limit:
+                    return jax.lax.map(lambda c: one(tp, c), cB)
+                return jax.vmap(one, in_axes=(None, 0))(tp, cB)
+
+            cache[key] = jax.jit(batched)
+        if device_mesh is not None:
+            from vtaco_tpu.parallel.mesh import shard_batch
+
+            c_batched = shard_batch(device_mesh, c_batched)
+        counts, levels, packed, vals = jax.device_get(
+            cache[key](tp, c_batched)
+        )
+        B = len(counts)
+
+        def recon(b):
+            if int(counts[b]) > cap:
+                self.band_overflows += 1
+                c_b = jax.tree.map(lambda x, b=b: x[b : b + 1], c_batched)
+                full = self.eval_points_dense(
+                    state, nx, c_b, dtype=dtype,
+                    transfer_dtype=jnp.float32, use_pallas=use_pallas,
+                )
+                return full.reshape(nx, nx, nx)
+            return band_reconstruct(nx, float(levels[b]), int(counts[b]),
+                                    packed[b], vals[b])
+
+        grids = host_map(recon, range(B))
+        return grids, [float(lv) for lv in levels]
+
+    # ------------------------------------------------------------------
     def decode_points_batched(self, state, pts_b, c_batched, device_mesh=None,
                               transfer_dtype=jnp.bfloat16, fast=None,
                               use_pallas=None, lattice_reso=None,
@@ -1763,6 +1947,54 @@ class Generator3D:
         return host.transpose(1, 0, 2).reshape(B, k * bs)[:, :M]
 
     # ------------------------------------------------------------------
+    def _obj_mesh_band(self, state, nx, mode, inputs, imgs, depths, touch,
+                       pc_ply, mano_gt, wrist, cam_pos, cam_rot, seed,
+                       cap=None, dtype=jnp.float32, use_pallas=None):
+        """One-dispatch mesh-extraction front half: the fused
+        encode+gate+decode+band program (``_mesh_band_impl``) plus host
+        band reconstruction. Returns ``(value_grid, level)``, or None on
+        band-buffer overflow (caller falls back to the multi-dispatch
+        full-transfer path)."""
+        from vtaco_tpu.generate.band import band_reconstruct, default_cap
+        from vtaco_tpu.ops import fast_trunk as FT
+
+        if cap is None:
+            cap = default_cap(nx)
+        if use_pallas is None:
+            use_pallas = self._pallas_enabled()
+        level_mode, level_const = self._band_level_args()
+        decoder = self.model.decoder
+        tp = FT.extract_trunk_params(
+            state.params["decoder"], decoder.n_blocks,
+            with_img=mode != "none",
+        )
+        if imgs is None:  # traced placeholders for the ungated program
+            imgs = jnp.zeros((1, 5, 4, 4, 3))
+            depths = jnp.zeros((1, 5, 16))
+            touch = jnp.zeros((1, 5), bool)
+        hw = imgs.shape[2] * imgs.shape[3]
+        d_origin = (
+            jnp.asarray(self.depth_origin, jnp.float32)
+            if self.depth_origin is not None
+            and len(self.depth_origin) == hw
+            else jnp.full((hw,), DEPTH_REST, jnp.float32)
+        )
+        raw = self._mesh_band(
+            self._vars(state), tp, inputs, imgs, depths, touch, cam_rot,
+            cam_pos, pc_ply, mano_gt[:, :3], wrist, d_origin,
+            jnp.int32(seed), jnp.float32(level_const), nx, mode,
+            jnp.dtype(dtype), use_pallas,
+            getattr(decoder, "leaky", False), cap=cap,
+            level_mode=level_mode, legacy_gt=bool(self.legacy_gt_depth),
+        )
+        count, level, packed, vals = jax.device_get(raw)
+        count = int(count)
+        if count > cap:
+            self.band_overflows += 1
+            return None
+        return band_reconstruct(nx, float(level), count, packed,
+                                vals), float(level)
+
     def generate_obj_mesh_wnf(self, state, data, seed=0):
         """Dense-grid decode + marching cubes + metrics.
 
@@ -1788,53 +2020,64 @@ class Generator3D:
         cam_pos = jnp.asarray(data["points.cam_pos"])
         cam_rot = jnp.asarray(data["points.cam_rot"])
 
-        c = self._apply(state, self.model.encode_inputs, inputs, train=False)
-
-        gating = "none"
-        gate_pts = gate_feat = gate_valid = None
-        if self.with_img:
-            c_img = self._apply(
-                state, self.model.encode_img_inputs, imgs, train=False
-            )  # (1, 5, C)
-            if self.encode_t2d:
-                # back-projected contact points per finger — one jitted
-                # program (eagerly this is dozens of dispatches per finger)
-                H, W = imgs.shape[2], imgs.shape[3]
-                hw = H * W
-                pred_depth, _ = self._apply(
-                    state, self.model.encode_t2d, inputs, imgs, train=False
-                )
-                d_origin = (
-                    jnp.asarray(self.depth_origin)
-                    if self.depth_origin is not None and len(self.depth_origin) == hw
-                    else jnp.full((hw,), DEPTH_REST)
-                )
-                gate_pts, gate_valid = self._prep_contact_gates(
-                    depths[0], pred_depth[0], d_origin, touch[0],
-                    cam_rot[0], cam_pos[0], pc_ply[0], H, W, seed=seed,
-                )
-                gating = "contact"
-                gate_feat = c_img[0]                            # (5, C)
-            else:
-                # fingertip proximity (generation.py:159-200)
-                c_hand = self._apply(
-                    state, self.model.encode_hand_inputs, inputs, train=False
-                )
-                tips = C.tips_in_object_frame(
-                    c_hand["mano_joints"], mano_gt[:, :3], wrist, pc_ply
-                )[0]
-                gating = "tips"
-                gate_pts = tips                                 # (5, 3)
-                gate_feat = c_img[0]                            # (5, C)
-                gate_valid = touch[0]
-
+        value_grid = level = None
         if self._band_enabled():
-            # sparse iso-band transfer: ~1/10 the payload, mesh
-            # bit-identical to the full f32 transfer (generate/band.py)
-            value_grid, level = self.eval_points_dense_band(
-                state, nx, c, gating, gate_pts, gate_feat, gate_valid,
+            # the one-dispatch serving path: encode + gate construction +
+            # gated decode + iso-band extraction in a single program, then
+            # host band reconstruction (~1/10 the transfer payload; mesh
+            # bit-identical to the full f32 transfer — generate/band.py)
+            mode = "none"
+            if self.with_img:
+                mode = "contact" if self.encode_t2d else "tips"
+            out = self._obj_mesh_band(
+                state, nx, mode, inputs, imgs, depths, touch, pc_ply,
+                mano_gt, wrist, cam_pos, cam_rot, seed,
             )
-        else:
+            if out is not None:
+                value_grid, level = out
+        if value_grid is None:
+            c = self._apply(state, self.model.encode_inputs, inputs,
+                            train=False)
+
+            gating = "none"
+            gate_pts = gate_feat = gate_valid = None
+            if self.with_img:
+                c_img = self._apply(
+                    state, self.model.encode_img_inputs, imgs, train=False
+                )  # (1, 5, C)
+                if self.encode_t2d:
+                    H, W = imgs.shape[2], imgs.shape[3]
+                    hw = H * W
+                    pred_depth, _ = self._apply(
+                        state, self.model.encode_t2d, inputs, imgs,
+                        train=False
+                    )
+                    d_origin = (
+                        jnp.asarray(self.depth_origin)
+                        if self.depth_origin is not None
+                        and len(self.depth_origin) == hw
+                        else jnp.full((hw,), DEPTH_REST)
+                    )
+                    gate_pts, gate_valid = self._prep_contact_gates(
+                        depths[0], pred_depth[0], d_origin, touch[0],
+                        cam_rot[0], cam_pos[0], pc_ply[0], H, W, seed=seed,
+                    )
+                    gating = "contact"
+                    gate_feat = c_img[0]                        # (5, C)
+                else:
+                    # fingertip proximity (generation.py:159-200)
+                    c_hand = self._apply(
+                        state, self.model.encode_hand_inputs, inputs,
+                        train=False
+                    )
+                    tips = C.tips_in_object_frame(
+                        c_hand["mano_joints"], mano_gt[:, :3], wrist, pc_ply
+                    )[0]
+                    gating = "tips"
+                    gate_pts = tips                             # (5, 3)
+                    gate_feat = c_img[0]                        # (5, C)
+                    gate_valid = touch[0]
+
             values = self.eval_points_dense(
                 state, nx, c, gating, gate_pts, gate_feat, gate_valid,
                 transfer_dtype=self.transfer_dtype,
