@@ -1065,6 +1065,21 @@ def main():
                     time.time() - t0, 3
                 )
                 mise_detail["mise256_dense_direct_verts"] = int(len(v_d))
+
+                # band variant: exact values, ~6 MB payload vs int8's 16.8
+                gen.eval_points_dense_band(state, 256, c_variants[0])
+                t0 = time.time()
+                grid_b, lvl_b = gen.eval_points_dense_band(
+                    state, 256, c_variants[1]
+                )
+                v_b2, _ = marching_cubes(grid_b, level=lvl_b,
+                                         gradient="ascent")
+                mise_detail["mise256_dense_direct_band_s"] = round(
+                    time.time() - t0, 3
+                )
+                mise_detail["mise256_dense_direct_band_verts"] = int(
+                    len(v_b2)
+                )
             except Exception as e:
                 mise_detail["mise256_dense_direct_error"] = repr(e)[:120]
 

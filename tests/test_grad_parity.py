@@ -239,7 +239,7 @@ def _our_loss_grads(trainer, variables, a):
 
 
 def _assert_grad_cosine(our_grads, ref_mapped, min_cos=0.999,
-                        skip_norm=1e-10):
+                        skip_norm=1e-10, expect=()):
     """Per top-level module: cosine between the stacks' full gradient
     vectors. Modules a path never touches have (near-)zero grads on both
     sides and are skipped by the norm guard."""
@@ -260,6 +260,11 @@ def _assert_grad_cosine(our_grads, ref_mapped, min_cos=0.999,
         assert cos >= min_cos, (mod, cos, report)
         # magnitudes must agree too (cosine alone misses scale errors)
         assert 0.98 < no / max(nr, 1e-30) < 1.02, (mod, no, nr)
+    # the modules the loss path is SUPPOSED to train must have real
+    # (nonzero) gradients on both sides — a silently-dead term would
+    # otherwise pass every cosine vacuously
+    for mod in expect:
+        assert isinstance(report.get(mod), float), (mod, report)
     return report
 
 
@@ -304,7 +309,8 @@ def test_grad_parity_plain(vtaco_pair, rng):
     _close(loss, float(loss_t))
     _close(scalars["loss_mano"], float(loss_mano_t))
     _close(scalars["loss_pc"], float(loss_pc_t))
-    _assert_grad_cosine(grads, _map_ref_grads(ref_grads, variables))
+    _assert_grad_cosine(grads, _map_ref_grads(ref_grads, variables),
+                        expect=("encoder", "encoder_hand", "decoder"))
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +339,8 @@ def test_grad_parity_tactile(tactile_pair, rng):
     _close(loss, float(loss_t))
     _close(scalars["loss_depth"], float(loss_depth_t))
     _close(scalars["loss_digit"], float(loss_digit_t))
-    _assert_grad_cosine(grads, _map_ref_grads(ref_grads, variables))
+    _assert_grad_cosine(grads, _map_ref_grads(ref_grads, variables),
+                        expect=("encoder_img", "encoder_hand"))
 
 
 # ---------------------------------------------------------------------------
@@ -487,7 +494,10 @@ def test_grad_parity_img(vtaco_pair, rng, monkeypatch):
     _close(loss, float(loss_t))
     _close(scalars["loss_mano"], float(loss_mano_t))
     _close(scalars["loss_pc"], float(loss_pc_t))
-    _assert_grad_cosine(grads, _map_ref_grads(ref_grads, variables))
+    _assert_grad_cosine(
+        grads, _map_ref_grads(ref_grads, variables),
+        expect=("encoder", "encoder_hand", "encoder_img", "decoder"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +592,11 @@ def _run_t2d_case(pair, rng, monkeypatch, with_img):
     _close(loss, float(loss_t))
     _close(scalars["loss_mano"], float(loss_mano_t))
     _close(scalars["loss_pc"], float(loss_pc_t))
-    _assert_grad_cosine(grads, _map_ref_grads(ref_grads, variables))
+    expect = ["encoder", "encoder_hand", "encoder_t2d"]
+    if with_img:
+        expect.append("encoder_img")
+    _assert_grad_cosine(grads, _map_ref_grads(ref_grads, variables),
+                        expect=tuple(expect))
 
 
 def test_grad_parity_t2d(vtaco_pair, rng, monkeypatch):

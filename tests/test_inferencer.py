@@ -52,6 +52,24 @@ def test_run_batched_pipelined(setup, tmp_path):
     for name in out["names"]:
         assert os.path.exists(str(tmp_path / "gen" / f"{name}_obj.off"))
 
+    # iso-band transfer variant (the TPU serving default): same flight
+    # structure, same chamfer results up to the band's exactness
+    from vtaco_tpu.generate.inferencer import Inferencer
+
+    gen_b = Generator3D.from_config(inf.generator.model, cfg,
+                                    contact_per_finger=16,
+                                    band_transfer=True,
+                                    transfer_dtype="float32")
+    inf_b = Inferencer.from_config(inf.generator.model, gen_b, cfg)
+    out_b = inf_b.run_batched(
+        state, BatchLoader(ds, 1, shuffle=False, num_workers=1),
+        batch_size=2, out_dir=str(tmp_path / "gen_band"),
+    )
+    assert out_b["names"] == expected
+    assert gen_b.band_overflows == 0
+    for a, b in zip(out["cd"], out_b["cd"]):
+        assert b == pytest.approx(a, rel=0.2, abs=1e-3), (a, b)
+
 
 def test_inference_step(setup):
     cfg, ds, state, inf = setup

@@ -1702,7 +1702,8 @@ class Generator3D:
     # ------------------------------------------------------------------
     def decode_dense_batched_band(self, state, nx, c_batched,
                                   device_mesh=None, dtype=jnp.float32,
-                                  use_pallas=None, cap=None):
+                                  use_pallas=None, cap=None,
+                                  return_device=False):
         """Batched dense decode with per-object iso-band transfer:
         one dispatch for B objects, shipping each object's occupancy bit
         mask + iso-crossing-corner logits instead of its (nx³,) volume
@@ -1760,9 +1761,25 @@ class Generator3D:
             from vtaco_tpu.parallel.mesh import shard_batch
 
             c_batched = shard_batch(device_mesh, c_batched)
-        counts, levels, packed, vals = jax.device_get(
-            cache[key](tp, c_batched)
+        raw = cache[key](tp, c_batched)
+        if return_device:
+            # async: device tuple + the finalize args. Callers overlap
+            # host work with the in-flight decode, then call
+            # finish_batched_band (generate/inferencer.py run_batched).
+            return raw, (nx, cap, c_batched, dtype, use_pallas)
+        return self.finish_batched_band(
+            state, raw, (nx, cap, c_batched, dtype, use_pallas)
         )
+
+    def finish_batched_band(self, state, raw, fin_args):
+        """Blocking second half of decode_dense_batched_band(return_device
+        =True): fetch, reconstruct per object (overflow → full-volume
+        fallback for that object), return (grids, levels)."""
+        from vtaco_tpu.generate.band import band_reconstruct
+        from vtaco_tpu.generate.mise import host_map
+
+        nx, cap, c_batched, dtype, use_pallas = fin_args
+        counts, levels, packed, vals = jax.device_get(raw)
         B = len(counts)
 
         def recon(b):

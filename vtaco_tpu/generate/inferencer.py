@@ -129,27 +129,45 @@ class Inferencer:
         chamfer = jax.jit(M.chamfer_distance)
         rng = np.random.default_rng(0)
 
+        use_band = gen._band_enabled()
+
         def dispatch(inputs_list, names_b, objs):
             inputs = jnp.asarray(np.stack(inputs_list))
             c = gen._apply(state, model.encode_inputs, inputs, train=False)
-            values = gen.decode_dense_batched(
-                state, nx, c, device_mesh=device_mesh, dtype=dtype,
-                return_device=True,  # keep the dispatch asynchronous
-            )
-            return values, names_b, objs
+            if use_band:
+                # iso-band transfer: ~1/5 the bf16 payload per object,
+                # meshes bit-match the full f32 path (generate/band.py)
+                flight = gen.decode_dense_batched_band(
+                    state, nx, c, device_mesh=device_mesh,
+                    return_device=True,  # keep the dispatch asynchronous
+                )
+            else:
+                flight = gen.decode_dense_batched(
+                    state, nx, c, device_mesh=device_mesh, dtype=dtype,
+                    return_device=True,
+                )
+            return flight, names_b, objs
 
-        def _mc_one(v):
-            verts, faces = marching_cubes(v.reshape(nx, nx, nx),
-                                          gradient="ascent")
+        def _mc_one(v, level=None):
+            verts, faces = marching_cubes(
+                np.asarray(v).reshape(nx, nx, nx), level=level,
+                gradient="ascent",
+            )
             return (verts - nx / 2) * box / nx, faces
 
         def consume(flight):
             values, names_b, objs = flight
-            vals = np.asarray(values, np.float32)  # blocks: device→host
             # per-object marching cubes threads across host cores (the
             # native extractor holds no cross-handle state; ctypes
             # releases the GIL) — mise.host_map is serial on 1-core hosts
-            meshes = host_map(_mc_one, list(vals))
+            if use_band:
+                raw, fin_args = values
+                grids, levels = gen.finish_batched_band(state, raw,
+                                                        fin_args)
+                meshes = host_map(_mc_one, grids, levels)
+            else:
+                vals = np.asarray(values, np.float32)  # blocks: dev→host
+                meshes = host_map(_mc_one, list(vals))
             samples, empty = [], []
             for b, name in enumerate(names_b):
                 verts, faces = meshes[b]
