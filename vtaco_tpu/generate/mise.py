@@ -72,6 +72,13 @@ def _voxel_boundary(occ):
     return any_occ & ~all_occ
 
 
+class _EngineView(np.ndarray):
+    """ndarray view over C++-engine memory; ``_keepalive`` pins the owning
+    extractor (and therefore the buffer) for the view's lifetime."""
+
+    _keepalive = None
+
+
 class MultiGridExtractorNumpy:
     """Active-voxel refinement bookkeeping (host side), numpy reference.
 
@@ -123,6 +130,11 @@ class MultiGridExtractorNumpy:
         if self.invert:
             return self.values < self.threshold
         return self.values >= self.threshold
+
+    @property
+    def values_view(self):
+        """API parity with the native engine (a plain copy here)."""
+        return self.values
 
     @property
     def value_active(self):
@@ -226,6 +238,26 @@ class MultiGridExtractorNative:
             self._h, out.ctypes.data_as(self._ct.POINTER(self._ct.c_float)),
         )
         return out
+
+    @property
+    def values_view(self):
+        """Zero-copy READ-ONLY view of the engine's value grid.
+
+        Skips the (R+1)³ f32 materialization copy — 540 MB at 512³, whose
+        cold-page write faults cost multi-second on this class of host.
+        The returned array subclass pins this extractor alive (the buffer
+        belongs to the C++ engine), but the view is invalidated by a
+        further ``increase_resolution``/``update`` — take it last, feed
+        it to marching cubes, drop it.
+        """
+        n = self.resolution + 1
+        ptr = self._lib.vtaco_mise_values_ptr(self._h)
+        buf = (self._ct.c_float * (n * n * n)).from_address(ptr)
+        arr = np.frombuffer(buf, np.float32).reshape(n, n, n)
+        view = arr.view(_EngineView)
+        view._keepalive = self
+        view.flags.writeable = False
+        return view
 
     @property
     def value_known(self):
@@ -430,7 +462,10 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
         st["host_s"] += _time.time() - t0
 
     t0 = _time.time()
-    out = mg.values
+    # zero-copy: marching cubes reads the engine's grid in place (the
+    # returned view pins `mg` alive; 540 MB of copy + cold-page faults
+    # at 512³ otherwise)
+    out = mg.values_view
     st["host_s"] += _time.time() - t0
     return out, threshold
 
@@ -542,6 +577,8 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
         st["host_s"] += _time.time() - t0
 
     t0 = _time.time()
-    grids = host_map(lambda mg: mg.values, mgs)
+    # zero-copy engine views (each pins its extractor alive): per-object
+    # marching cubes reads the engines' grids in place
+    grids = host_map(lambda mg: mg.values_view, mgs)
     st["host_s"] += _time.time() - t0
     return grids, thresholds

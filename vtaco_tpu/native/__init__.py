@@ -369,6 +369,8 @@ class _Mise:
             lib.vtaco_mise_update_queried.argtypes = [ctypes.c_void_p, c_f]
             lib.vtaco_mise_increase.argtypes = [ctypes.c_void_p]
             lib.vtaco_mise_values.argtypes = [ctypes.c_void_p, c_f]
+            lib.vtaco_mise_values_ptr.restype = ctypes.c_void_p
+            lib.vtaco_mise_values_ptr.argtypes = [ctypes.c_void_p]
             lib.vtaco_mise_known.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
             ]

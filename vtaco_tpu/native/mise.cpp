@@ -315,6 +315,13 @@ void vtaco_mise_values(void* h, float* out) {
   std::memcpy(out, m->values.data(), m->values.size() * sizeof(float));
 }
 
+// Zero-copy view of the engine's value grid ((R+1)^3 f32, C-order).
+// Valid until the next increase_resolution()/free on this handle; the
+// Python wrapper pins the extractor alive for the view's lifetime.
+const float* vtaco_mise_values_ptr(void* h) {
+  return ((Mise*)h)->values.data();
+}
+
 // out: (R+1)^3 uint8 (0/1)
 void vtaco_mise_known(void* h, uint8_t* out) {
   Mise* m = (Mise*)h;
