@@ -790,6 +790,7 @@ def main():
             gen.eval_points_dense_band(
                 state, nx, gating=args.gating, gate_pts=gate_pts,
                 gate_feat=gate_feat, gate_valid=gate_valid, inputs=pts,
+                mesh=True,
             )
         except Exception as e:
             _mark(f"fused encode+band FAILED ({e!r}); per-stage path")
@@ -799,14 +800,14 @@ def main():
         t0 = time.time()
         if use_band:
             # the shipped mesh path: encode + gated decode + iso-band in
-            # ONE dispatch (generator._encode_band_impl); mesh
-            # bit-identical to the full-volume transfer
-            grid, level = gen.eval_points_dense_band(
+            # ONE dispatch (generator._encode_band_impl), then the fused
+            # native band scanner emits the mesh with no grid
+            # reconstruction; bit-identical to the full-volume transfer
+            verts, faces, level = gen.eval_points_dense_band(
                 state, nx, gating=args.gating, gate_pts=gate_pts,
                 gate_feat=gate_feat, gate_valid=gate_valid, inputs=pts2,
+                mesh=True,
             )
-            verts, faces = marching_cubes(grid, level=level,
-                                          gradient="ascent")
         else:
             c2 = encode(variables, pts2)
             values = gen.eval_points_dense(state, nx, c2, args.gating,

@@ -120,6 +120,48 @@ def test_generator_band_path_matches_full(rng):
     assert np.array_equal(v1, v2) and np.array_equal(f1, f2)
 
 
+@pytest.mark.parametrize("kind", ["sphere", "blobs"])
+def test_band_marching_cubes_fused(rng, kind):
+    """band_marching_cubes (the fused native scanner — no grid
+    reconstruction) emits the identical mesh to reconstruct+scan."""
+    from vtaco_tpu.generate.band import band_marching_cubes
+
+    nx = 33
+    vol = _field(rng, nx, kind)
+    cap = 65536
+    cnt, lvl, packed, vals = jax.device_get(
+        jax.jit(lambda lf: band.band_extract(lf, nx, cap, "midpoint", 0.0))(
+            vol.reshape(-1)
+        )
+    )
+    grid = band._band_reconstruct_numpy(nx, float(lvl), int(cnt), packed,
+                                        vals)
+    for grad in ("ascent", "descent"):
+        v1, f1 = marching_cubes(grid, level=float(lvl), gradient=grad)
+        v2, f2 = band_marching_cubes(nx, float(lvl), int(cnt), packed,
+                                     vals, gradient=grad)
+        assert np.array_equal(v1, v2)
+        assert np.array_equal(f1, f2)
+
+
+def test_generator_band_mesh_variant(rng):
+    """eval_points_dense_band(mesh=True) returns the same mesh as the
+    (grid, level) variant fed to marching cubes."""
+    from tests.test_fast_decode import _setup
+    from vtaco_tpu.generate.generator import Generator3D
+
+    model, c_planes, state, _ = _setup(rng)
+    gen = Generator3D(model, resolution0=4, padding=0.1,
+                      band_transfer=True)
+    nx = 16
+    grid, level = gen.eval_points_dense_band(state, nx, c_planes)
+    v1, f1 = marching_cubes(grid, level=level, gradient="ascent")
+    v2, f2, level2 = gen.eval_points_dense_band(state, nx, c_planes,
+                                                mesh=True)
+    assert level2 == pytest.approx(level, abs=1e-6)
+    assert np.array_equal(v1, v2) and np.array_equal(f1, f2)
+
+
 def test_batched_band_matches_per_object(rng):
     """decode_dense_batched_band: per-object band grids mesh identically
     to the full f32 batched transfer; overflow falls back per object."""

@@ -110,6 +110,33 @@ def band_extract(logits_flat, nx: int, cap: int, level_mode,
     return count, level, packed, vals
 
 
+def band_marching_cubes(nx: int, level: float, count: int, packed, vals,
+                        gradient: str = "ascent"):
+    """Marching cubes straight from the band payload.
+
+    Uses the native fused extractor (no intermediate grid) when
+    available; falls back to reconstruct + scan. Output is identical
+    either way (same classification bits, same exact corner values,
+    same scan order).
+    """
+    packed = np.ascontiguousarray(packed, np.uint8)
+    vals = np.ascontiguousarray(vals, np.float32)
+    try:
+        from vtaco_tpu import native
+
+        verts, faces = native.mc.marching_cubes_band(nx, float(level),
+                                                     int(count), packed,
+                                                     vals)
+        if gradient == "ascent":
+            faces = faces[:, ::-1]
+        return verts, faces
+    except Exception:
+        from vtaco_tpu.generate.marching_cubes import marching_cubes
+
+        grid = band_reconstruct(nx, level, count, packed, vals)
+        return marching_cubes(grid, level=level, gradient=gradient)
+
+
 def band_reconstruct(nx: int, level: float, count: int, packed, vals):
     """Host: full (nx, nx, nx) f32 grid from the band payload.
 

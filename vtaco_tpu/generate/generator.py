@@ -797,7 +797,8 @@ class Generator3D:
     def eval_points_dense_band(self, state, nx, c=None, gating="none",
                                gate_pts=None, gate_feat=None,
                                gate_valid=None, dtype=jnp.float32,
-                               cap=None, use_pallas=None, inputs=None):
+                               cap=None, use_pallas=None, inputs=None,
+                               mesh=False):
         """Dense nx³ decode shipping only the iso-band (generate/band.py).
 
         Returns ``(value_grid, level)``: a host (nx, nx, nx) f32 grid
@@ -813,6 +814,10 @@ class Generator3D:
         runs INSIDE the same program — one dispatch for encode + decode +
         band (the per-object serving path; each extra dispatch costs a
         host-link RTT).
+
+        ``mesh=True`` returns ``(verts, faces, level)`` instead,
+        extracting the isosurface straight from the band payload (the
+        fused native scanner skips the grid reconstruction entirely).
         """
         from vtaco_tpu.generate.band import band_reconstruct, default_cap
 
@@ -864,7 +869,18 @@ class Generator3D:
                 dtype=dtype, transfer_dtype=jnp.float32,
                 use_pallas=use_pallas,
             )
-            return values.reshape(nx, nx, nx), level
+            grid = values.reshape(nx, nx, nx)
+            if mesh:
+                verts, faces = marching_cubes(grid, level=level,
+                                              gradient="ascent")
+                return verts, faces, level
+            return grid, level
+        if mesh:
+            from vtaco_tpu.generate.band import band_marching_cubes
+
+            verts, faces = band_marching_cubes(nx, level, count, packed,
+                                               vals, gradient="ascent")
+            return verts, faces, level
         return band_reconstruct(nx, level, count, packed, vals), level
 
     def _dense_fast_args(self, state, nx, c, gating, gate_pts, gate_feat,
@@ -2009,8 +2025,11 @@ class Generator3D:
         if count > cap:
             self.band_overflows += 1
             return None
-        return band_reconstruct(nx, float(level), count, packed,
-                                vals), float(level)
+        from vtaco_tpu.generate.band import band_marching_cubes
+
+        verts, faces = band_marching_cubes(nx, float(level), count, packed,
+                                           vals, gradient="ascent")
+        return verts, faces
 
     def generate_obj_mesh_wnf(self, state, data, seed=0):
         """Dense-grid decode + marching cubes + metrics.
@@ -2037,11 +2056,12 @@ class Generator3D:
         cam_pos = jnp.asarray(data["points.cam_pos"])
         cam_rot = jnp.asarray(data["points.cam_rot"])
 
-        value_grid = level = None
+        verts = faces = None
         if self._band_enabled():
             # the one-dispatch serving path: encode + gate construction +
             # gated decode + iso-band extraction in a single program, then
-            # host band reconstruction (~1/10 the transfer payload; mesh
+            # the fused native band scanner emits the mesh with no grid
+            # reconstruction (~1/10 the transfer payload; mesh
             # bit-identical to the full f32 transfer — generate/band.py)
             mode = "none"
             if self.with_img:
@@ -2051,8 +2071,8 @@ class Generator3D:
                 mano_gt, wrist, cam_pos, cam_rot, seed,
             )
             if out is not None:
-                value_grid, level = out
-        if value_grid is None:
+                verts, faces = out
+        if verts is None:
             c = self._apply(state, self.model.encode_inputs, inputs,
                             train=False)
 
@@ -2106,8 +2126,8 @@ class Generator3D:
                 level = float(value_grid.mean())
             elif isinstance(self.mc_level, (int, float)):
                 level = float(self.mc_level)
-        verts, faces = marching_cubes(value_grid, level=level,
-                                      gradient="ascent")
+            verts, faces = marching_cubes(value_grid, level=level,
+                                          gradient="ascent")
         verts = verts - np.array([nx / 2, nx / 2, nx / 2], np.float32)
         verts = verts * box_size / nx
 

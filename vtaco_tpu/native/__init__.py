@@ -109,6 +109,13 @@ class _MC:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_float, ctypes.c_int,
             ]
+            lib.vtaco_mc_run_band.restype = ctypes.c_void_p
+            lib.vtaco_mc_run_band.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+                ctypes.c_int,
+            ]
             lib.vtaco_mc_num_verts.restype = ctypes.c_int64
             lib.vtaco_mc_num_verts.argtypes = [ctypes.c_void_p]
             lib.vtaco_mc_num_faces.restype = ctypes.c_int64
@@ -167,6 +174,12 @@ class _MC:
             vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             nx, ny, nz, ctypes.c_float(level), int(threads),
         )
+        return self._copy_result(handle)
+
+    def _copy_result(self, handle):
+        import numpy as np
+
+        lib = self._lib
         try:
             nv = lib.vtaco_mc_num_verts(handle)
             nf = lib.vtaco_mc_num_faces(handle)
@@ -181,6 +194,30 @@ class _MC:
         finally:
             lib.vtaco_mc_free(handle)
         return verts, faces
+
+    def marching_cubes_band(self, nx, level, count, packed, vals,
+                            threads=1):
+        """Marching cubes directly on a device band payload
+        (generate/band.py) — no intermediate grid reconstruction. Returns
+        (verts, faces) identical to reconstruct+marching_cubes; raises
+        ValueError on a mask/count mismatch (caller falls back)."""
+        import numpy as np
+
+        lib = self._ensure()
+        packed = np.ascontiguousarray(packed, np.uint8)
+        vals = np.ascontiguousarray(vals, np.float32)
+        handle = lib.vtaco_mc_run_band(
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(count), nx, nx, nx, ctypes.c_float(level),
+            int(threads),
+        )
+        if not handle:
+            raise ValueError(
+                "band payload inconsistent (mask-implied active count != "
+                f"{count})"
+            )
+        return self._copy_result(handle)
 
 
 mc = _MC()

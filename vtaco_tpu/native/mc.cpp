@@ -117,11 +117,16 @@ struct SlabOut {
 };
 
 struct Ctx {
-  const float* vol;
+  const float* vol;  // nullptr in band mode (values come from the band)
   int nx, ny, nz;
   float level;
   const uint64_t* bits;  // (nx * ny) columns × words_z 64-bit words
   int64_t wz;            // words per z-column
+  // band mode: flat (C-order) active-vertex bit words + per-word prefix
+  // popcounts; vals holds the active vertices' exact f32 in rank order
+  const uint64_t* act = nullptr;
+  const int64_t* act_rank = nullptr;
+  const float* band_vals = nullptr;
 };
 
 inline int bit_at(const Ctx& c, int x, int y, int z) {
@@ -133,7 +138,18 @@ inline int bit_at(const Ctx& c, int x, int y, int z) {
 void extract_slab(const Ctx& c, int sx, int ex, SlabOut* out) {
   const int nx = c.nx, ny = c.ny, nz = c.nz;
   auto val = [&](int x, int y, int z) -> float {
-    return c.vol[(static_cast<int64_t>(x) * ny + y) * nz + z];
+    const int64_t i = (static_cast<int64_t>(x) * ny + y) * nz + z;
+    if (c.vol) return c.vol[i];
+    // band mode: exact f32 for active vertices (rank/select into the
+    // compacted value buffer), sign-correct filler otherwise — only
+    // non-crossing cells ever read the filler
+    const uint64_t w = c.act[i >> 6];
+    if ((w >> (i & 63)) & 1) {
+      const int64_t r = c.act_rank[i >> 6] +
+          __builtin_popcountll(w & ((1ULL << (i & 63)) - 1));
+      return c.band_vals[r];
+    }
+    return bit_at(c, x, y, z) ? c.level + 1.0f : c.level - 1.0f;
   };
 
   int edge_axis[12];
@@ -236,6 +252,63 @@ void extract_slab(const Ctx& c, int sx, int ex, SlabOut* out) {
   }
 }
 
+// Slab extraction + boundary weld, shared by the volume and band modes.
+void run_slabs(const Ctx& ctx, int threads, Result* res) {
+  const int ncells_x = ctx.nx - 1;
+  std::vector<SlabOut> slabs(threads);
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < threads; ++t) {
+      int sx = static_cast<int>(static_cast<int64_t>(ncells_x) * t / threads);
+      int ex = static_cast<int>(
+          static_cast<int64_t>(ncells_x) * (t + 1) / threads);
+      if (threads == 1) {
+        extract_slab(ctx, sx, ex, &slabs[t]);
+      } else {
+        pool.emplace_back(extract_slab, std::cref(ctx), sx, ex, &slabs[t]);
+      }
+    }
+    for (auto& th : pool) th.join();
+  }
+
+  if (threads == 1) {
+    res->verts = std::move(slabs[0].verts);
+    res->faces = std::move(slabs[0].faces);
+    return;
+  }
+
+  // weld: slab s's plane-sx vertices that the previous slab already
+  // emitted (its plane-ex list) collapse to the earlier index.
+  std::vector<std::pair<int64_t, int32_t>> prev_end;  // key → GLOBAL idx
+  for (int s = 0; s < threads; ++s) {
+    SlabOut& sl = slabs[s];
+    size_t nv = sl.verts.size() / 3;
+    std::vector<int32_t> remap(nv, -1);
+    if (s > 0 && !prev_end.empty()) {
+      EdgeMap prev(prev_end.size());
+      for (auto& kv : prev_end) {
+        bool f;
+        *prev.find_or_insert(kv.first, &f) = kv.second;
+      }
+      for (auto& kv : sl.start_b) {
+        const int32_t* g = prev.find(kv.first);
+        if (g) remap[kv.second] = *g;
+      }
+    }
+    for (size_t v = 0; v < nv; ++v) {
+      if (remap[v] == -1) {
+        remap[v] = static_cast<int32_t>(res->verts.size() / 3);
+        res->verts.push_back(sl.verts[3 * v]);
+        res->verts.push_back(sl.verts[3 * v + 1]);
+        res->verts.push_back(sl.verts[3 * v + 2]);
+      }
+    }
+    for (int32_t f : sl.faces) res->faces.push_back(remap[f]);
+    prev_end.clear();
+    for (auto& kv : sl.end_b) prev_end.emplace_back(kv.first, remap[kv.second]);
+  }
+}
+
 Result* mc_run(const float* vol, int nx, int ny, int nz, float level,
                int threads) {
   auto* res = new Result();
@@ -273,8 +346,6 @@ Result* mc_run(const float* vol, int nx, int ny, int nz, float level,
   if (threads < 1) threads = 1;
   if (threads > ncells_x) threads = ncells_x;
 
-  Ctx ctx{vol, nx, ny, nz, level, bits.data(), wz};
-  std::vector<SlabOut> slabs(threads);
   {
     std::vector<std::thread> pool;
     for (int t = 0; t < threads; ++t) {
@@ -288,57 +359,95 @@ Result* mc_run(const float* vol, int nx, int ny, int nz, float level,
     }
     for (auto& th : pool) th.join();
   }
-  {
-    std::vector<std::thread> pool;
-    for (int t = 0; t < threads; ++t) {
-      int sx = static_cast<int>(static_cast<int64_t>(ncells_x) * t / threads);
-      int ex = static_cast<int>(
-          static_cast<int64_t>(ncells_x) * (t + 1) / threads);
-      if (threads == 1) {
-        extract_slab(ctx, sx, ex, &slabs[t]);
-      } else {
-        pool.emplace_back(extract_slab, std::cref(ctx), sx, ex, &slabs[t]);
-      }
+  Ctx ctx{vol, nx, ny, nz, level, bits.data(), wz};
+  run_slabs(ctx, threads, res);
+  return res;
+}
+
+// Marching cubes DIRECTLY on a device band payload (generate/band.py):
+// packed occupancy bits + compacted active-vertex values — no (nx³,) f32
+// grid reconstruction in between (the 8 MB grid write + re-read was the
+// single-object mesh path's largest remaining host cost). Returns
+// nullptr on a mask/count mismatch (caller falls back to the
+// reconstruct-then-scan path).
+Result* mc_run_band(const uint8_t* packed, const float* vals, int64_t count,
+                    int nx, int ny, int nz, float level, int threads) {
+  if (nx < 2 || ny < 2 || nz < 2) return new Result();
+  const int64_t n = static_cast<int64_t>(nx) * ny * nz;
+
+  // flat little-endian bitstream, padded for unaligned 64-bit loads
+  std::vector<uint8_t> pad(packed, packed + ((n + 7) >> 3));
+  pad.resize(pad.size() + 16, 0);
+  auto flat_bits64 = [&](int64_t bitpos) -> uint64_t {
+    const int64_t byte = bitpos >> 3;
+    const int sh = static_cast<int>(bitpos & 7);
+    uint64_t lo;
+    std::memcpy(&lo, pad.data() + byte, 8);
+    if (!sh) return lo;
+    const uint64_t hi = pad[byte + 8];
+    return (lo >> sh) | (hi << (64 - sh));
+  };
+
+  // occupancy in the scan's column (z-major word) layout
+  const int64_t wz = (nz + 63) >> 6;
+  std::vector<uint64_t> bits(static_cast<int64_t>(nx) * ny * wz, 0);
+  for (int64_t col = 0; col < static_cast<int64_t>(nx) * ny; ++col) {
+    uint64_t* w = bits.data() + col * wz;
+    const int64_t b0 = col * nz;
+    for (int64_t j = 0; j < wz; ++j) {
+      uint64_t v = flat_bits64(b0 + (j << 6));
+      const int64_t rem = nz - (j << 6);
+      if (rem < 64) v &= (1ULL << rem) - 1;
+      w[j] = v;
     }
-    for (auto& th : pool) th.join();
   }
 
-  if (threads == 1) {
-    res->verts = std::move(slabs[0].verts);
-    res->faces = std::move(slabs[0].faces);
-    return res;
+  // active vertices (corners of iso-crossing cells), flat C-order, with
+  // per-word prefix popcounts for rank/select into `vals`
+  std::vector<uint8_t> occ(n), act8(n, 0);
+  for (int64_t i = 0; i < n; ++i) occ[i] = (pad[i >> 3] >> (i & 7)) & 1;
+  const int64_t sx_ = static_cast<int64_t>(ny) * nz, sy_ = nz;
+  for (int x = 0; x + 1 < nx; ++x) {
+    for (int y = 0; y + 1 < ny; ++y) {
+      const int64_t row = x * sx_ + y * sy_;
+      for (int z = 0; z + 1 < nz; ++z) {
+        const int64_t o = row + z;
+        const uint8_t c0 = occ[o];
+        if ((occ[o + 1] ^ c0) | (occ[o + sy_] ^ c0) |
+            (occ[o + sy_ + 1] ^ c0) | (occ[o + sx_] ^ c0) |
+            (occ[o + sx_ + 1] ^ c0) | (occ[o + sx_ + sy_] ^ c0) |
+            (occ[o + sx_ + sy_ + 1] ^ c0)) {
+          act8[o] = act8[o + 1] = act8[o + sy_] = act8[o + sy_ + 1] = 1;
+          act8[o + sx_] = act8[o + sx_ + 1] = act8[o + sx_ + sy_] =
+              act8[o + sx_ + sy_ + 1] = 1;
+        }
+      }
+    }
   }
+  const int64_t nw = (n + 63) >> 6;
+  std::vector<uint64_t> act(nw, 0);
+  std::vector<int64_t> rank(nw, 0);
+  int64_t running = 0;
+  for (int64_t j = 0; j < nw; ++j) {
+    uint64_t w = 0;
+    const int64_t base = j << 6;
+    const int m = static_cast<int>(n - base < 64 ? n - base : 64);
+    for (int b = 0; b < m; ++b) {
+      w |= static_cast<uint64_t>(act8[base + b]) << b;
+    }
+    act[j] = w;
+    rank[j] = running;
+    running += __builtin_popcountll(w);
+  }
+  if (running != count) return nullptr;  // payload inconsistent
 
-  // 2. weld: slab s's plane-sx vertices that the previous slab already
-  // emitted (its plane-ex list) collapse to the earlier index.
-  std::vector<std::pair<int64_t, int32_t>> prev_end;  // key → GLOBAL idx
-  for (int s = 0; s < threads; ++s) {
-    SlabOut& sl = slabs[s];
-    size_t nv = sl.verts.size() / 3;
-    std::vector<int32_t> remap(nv, -1);
-    if (s > 0 && !prev_end.empty()) {
-      EdgeMap prev(prev_end.size());
-      for (auto& kv : prev_end) {
-        bool f;
-        *prev.find_or_insert(kv.first, &f) = kv.second;
-      }
-      for (auto& kv : sl.start_b) {
-        const int32_t* g = prev.find(kv.first);
-        if (g) remap[kv.second] = *g;
-      }
-    }
-    for (size_t v = 0; v < nv; ++v) {
-      if (remap[v] == -1) {
-        remap[v] = static_cast<int32_t>(res->verts.size() / 3);
-        res->verts.push_back(sl.verts[3 * v]);
-        res->verts.push_back(sl.verts[3 * v + 1]);
-        res->verts.push_back(sl.verts[3 * v + 2]);
-      }
-    }
-    for (int32_t f : sl.faces) res->faces.push_back(remap[f]);
-    prev_end.clear();
-    for (auto& kv : sl.end_b) prev_end.emplace_back(kv.first, remap[kv.second]);
-  }
+  int ncells_x = nx - 1;
+  if (threads < 1) threads = 1;
+  if (threads > ncells_x) threads = ncells_x;
+  auto* res = new Result();
+  Ctx ctx{nullptr, nx, ny, nz, level, bits.data(), wz,
+          act.data(), rank.data(), vals};
+  run_slabs(ctx, threads, res);
   return res;
 }
 
@@ -354,6 +463,13 @@ void* vtaco_mc_run(const float* vol, int nx, int ny, int nz, float level) {
 void* vtaco_mc_run_t(const float* vol, int nx, int ny, int nz, float level,
                      int threads) {
   return mc_run(vol, nx, ny, nz, level, threads);
+}
+
+// Marching cubes on a band payload; nullptr on mask/count mismatch.
+void* vtaco_mc_run_band(const uint8_t* packed, const float* vals,
+                        int64_t count, int nx, int ny, int nz, float level,
+                        int threads) {
+  return mc_run_band(packed, vals, count, nx, ny, nz, level, threads);
 }
 
 int64_t vtaco_mc_num_verts(void* handle) {
