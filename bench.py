@@ -928,14 +928,14 @@ def main():
 
                 def serve_band(pts_in):
                     cB = enc_b(variables, pts_in)
-                    grids, levels = gen.decode_dense_batched_band(
-                        state, nx, cB, dtype=serve_dtype
+                    raw, fin = gen.decode_dense_batched_band(
+                        state, nx, cB, dtype=serve_dtype,
+                        return_device=True,
                     )
-                    return [
-                        marching_cubes(grids[b], level=levels[b],
-                                       gradient="ascent")
-                        for b in range(B)
-                    ]
+                    # fused native scanner: meshes straight from the band
+                    meshes, _ = gen.finish_batched_band(state, raw, fin,
+                                                        mesh=True)
+                    return meshes
 
                 serve_band(pts_b)  # warm/compile
                 t_bband = np.inf

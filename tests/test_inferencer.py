@@ -40,6 +40,9 @@ def test_run_batched_pipelined(setup, tmp_path):
     """5 models, batch 2 → 3 flights (2+2+1): exercises the dispatch/
     consume overlap, the remainder flush, and ordered results."""
     cfg, ds, state, inf = setup
+    # the field transforms draw from global np.random: pin it so the
+    # band-vs-full comparison below consumes IDENTICAL rows
+    np.random.seed(1234)
     loader = BatchLoader(ds, 1, shuffle=False, num_workers=1)
     out = inf.run_batched(state, loader, batch_size=2,
                           out_dir=str(tmp_path / "gen"))
@@ -61,14 +64,19 @@ def test_run_batched_pipelined(setup, tmp_path):
                                     band_transfer=True,
                                     transfer_dtype="float32")
     inf_b = Inferencer.from_config(inf.generator.model, gen_b, cfg)
+    np.random.seed(1234)
     out_b = inf_b.run_batched(
         state, BatchLoader(ds, 1, shuffle=False, num_workers=1),
         batch_size=2, out_dir=str(tmp_path / "gen_band"),
     )
     assert out_b["names"] == expected
     assert gen_b.band_overflows == 0
+    # the full-volume flight ships bf16 logits (decode_dense_batched's
+    # transfer default) while the band ships exact f32 — meshes differ at
+    # bf16 rounding, so chamfer agrees to ~percent, not bitwise (the
+    # band's bit-exactness vs an f32 fetch is proven in tests/test_band.py)
     for a, b in zip(out["cd"], out_b["cd"]):
-        assert b == pytest.approx(a, rel=0.2, abs=1e-3), (a, b)
+        assert b == pytest.approx(a, rel=0.05, abs=1e-4), (a, b)
 
 
 def test_inference_step(setup):

@@ -295,6 +295,51 @@ def test_attention_decoder(rng):
     # weight-tied fusion: one self_attn + one cross_attn group
     assert set(v["params"]["fuser"].keys()) == {"self_attn", "cross_attn"}
 
+    # AttentionDecoder shares the trunk PARAMETER NAMES with LocalDecoder
+    # but not its semantics (the fuser runs first) — every fast/band/
+    # batched path must refuse or fall back rather than silently dropping
+    # the fusion (generator._fast_capable)
+    import pytest
+
+    from vtaco_tpu.generate.generator import Generator3D
+    from vtaco_tpu.models.conv_onet import ConvOccupancyNetwork
+
+    model = ConvOccupancyNetwork(decoder=dec)
+    gen = Generator3D(model, resolution0=2, padding=0.1,
+                      band_transfer=True)
+    assert not gen._fast_capable()
+    assert not gen._band_enabled()  # even with band_transfer=True
+
+    def init_all(m):
+        m.decode(p, c_plane)
+        m.decode_img(p, c_plane, c_img)
+
+    vm = model.init(RNG, method=init_all)
+
+    class S:
+        params = vm["params"]
+        batch_stats = {}
+
+    # dense decode routes through the chunked module path (the decoder's
+    # own forward, fusion intact) and matches a direct module decode
+    vals = gen.eval_points_dense(S(), 8, c_plane,
+                                 transfer_dtype=jnp.float32)
+    from vtaco_tpu.ops.geometry import make_3d_grid
+
+    pf = 1.1 * np.asarray(make_3d_grid((-0.5,) * 3, (0.5,) * 3, (8,) * 3),
+                          np.float32)
+    direct = model.apply(vm, jnp.asarray(pf[None]), c_plane,
+                         method=model.decode)[0]
+    np.testing.assert_allclose(vals, np.asarray(direct), atol=2e-5)
+    with pytest.raises(NotImplementedError):
+        gen.eval_points_fast(S(), np.zeros((32, 3), np.float32), c_plane)
+    with pytest.raises(NotImplementedError):
+        gen.decode_dense_batched(S(), 8, c_plane)
+    with pytest.raises(NotImplementedError):
+        gen.decode_dense_batched_band(S(), 8, c_plane)
+    with pytest.raises(NotImplementedError):
+        gen.eval_points_dense_band(S(), 8, c_plane)
+
 
 def test_index_encoder(rng):
     from vtaco_tpu.models.pointnet import IndexEncoder

@@ -314,6 +314,17 @@ class Generator3D:
         )
 
     # ------------------------------------------------------------------
+    def _fast_capable(self):
+        """The channels-first fast trunk / band / batched paths reproduce
+        LocalDecoder (fc_p/fc_c/ResnetBlockFC/fc_out) semantics exactly —
+        and ONLY those. AttentionDecoder shares the trunk parameter names
+        but fuses tactile features through TransformerFusion first
+        (decoder.py:258): extracting its trunk would silently drop the
+        fusion. Gate every fast path on the decoder type."""
+        from vtaco_tpu.models.decoder import LocalDecoder
+
+        return isinstance(self.model.decoder, LocalDecoder)
+
     def _pallas_enabled(self):
         """Resolve the ``use_pallas`` setting: 'auto' means TPU backend
         only (the Mosaic kernel has no CPU/GPU lowering here; tests run
@@ -753,6 +764,25 @@ class Generator3D:
             gate_pts = jnp.zeros((1, 3))
             gate_feat = jnp.zeros((1, 1))
             gate_valid = jnp.zeros((1,), bool)
+        if not self._fast_capable():
+            # AttentionDecoder-family: both dense impls assume the
+            # LocalDecoder trunk (forward_feats) — decode the grid through
+            # the chunked module path (decoder.forward/forward_img keep
+            # their full semantics, incl. the fusion transformer)
+            from vtaco_tpu.ops.geometry import make_3d_grid
+
+            box = 1 + self.padding
+            pf = box * np.asarray(
+                make_3d_grid((-0.5,) * 3, (0.5,) * 3, (nx,) * 3),
+                np.float32,
+            )
+            vals = self.eval_points(
+                state, pf, c, gating, gate_pts, gate_feat, gate_valid,
+                transfer_dtype=transfer_dtype, fast=False,
+            )
+            if return_device:
+                return jnp.asarray(vals)
+            return np.asarray(vals, np.float32)
         if fast:
             args_t = self._dense_fast_args(state, nx, c, gating, gate_pts,
                                            gate_feat, gate_valid, dtype,
@@ -782,7 +812,9 @@ class Generator3D:
     def _band_enabled(self):
         """Resolve ``band_transfer``: 'auto' means TPU backend only (the
         parity/CPU suites default to exact full transfers; the band's
-        value is the thin host link)."""
+        value is the thin host link). Requires a fast-capable decoder."""
+        if not self._fast_capable():
+            return False
         if self.band_transfer == "auto":
             return jax.default_backend() == "tpu"
         return bool(self.band_transfer)
@@ -821,6 +853,12 @@ class Generator3D:
         """
         from vtaco_tpu.generate.band import band_reconstruct, default_cap
 
+        if not self._fast_capable():
+            raise NotImplementedError(
+                "the channels-first fast trunk reproduces LocalDecoder "
+                f"semantics only; got {type(self.model.decoder).__name__} "
+                "(use eval_points(fast=False) / the module decode paths)"
+            )
         if gate_pts is None:
             gate_pts = jnp.zeros((1, 3))
             gate_feat = jnp.zeros((1, 1))
@@ -1104,6 +1142,12 @@ class Generator3D:
         reference's make_3d_grid callers pass through this API
         (generation.py:338-383) — skip the coordinate upload entirely and
         decode through the separable dense path (_try_full_grid)."""
+        if not self._fast_capable():
+            raise NotImplementedError(
+                "the channels-first fast trunk reproduces LocalDecoder "
+                f"semantics only; got {type(self.model.decoder).__name__} "
+                "(use eval_points(fast=False) / the module decode paths)"
+            )
         if use_pallas is None:
             use_pallas = self._pallas_enabled()
         if gate_pts is None:
@@ -1429,7 +1473,7 @@ class Generator3D:
         bs = self.points_batch_size
         crop_mode = self.input_type == "pointcloud_crop"
         if fast is None:
-            fast = not crop_mode
+            fast = not crop_mode and self._fast_capable()
         if fast and not crop_mode:
             lim = self.scatter_slice_points
             if n <= lim:
@@ -1659,6 +1703,13 @@ class Generator3D:
         """
         from vtaco_tpu.ops import fast_trunk as FT
 
+        if not self._fast_capable():
+            raise NotImplementedError(
+                "decode_dense_batched requires a LocalDecoder-family "
+                "decoder (the fast trunk cannot reproduce "
+                f"{type(self.model.decoder).__name__}); decode per object "
+                "via generate_obj_mesh_wnf / eval_points instead"
+            )
         tp = FT.extract_trunk_params(
             state.params["decoder"], self.model.decoder.n_blocks,
             with_img=False,
@@ -1739,6 +1790,12 @@ class Generator3D:
 
         if cap is None:
             cap = default_cap(nx)
+        if not self._fast_capable():
+            raise NotImplementedError(
+                "the channels-first fast trunk reproduces LocalDecoder "
+                f"semantics only; got {type(self.model.decoder).__name__} "
+                "(use eval_points(fast=False) / the module decode paths)"
+            )
         level_mode, level_const = self._band_level_args()
         tp = FT.extract_trunk_params(
             state.params["decoder"], self.model.decoder.n_blocks,
@@ -1787,31 +1844,50 @@ class Generator3D:
             state, raw, (nx, cap, c_batched, dtype, use_pallas)
         )
 
-    def finish_batched_band(self, state, raw, fin_args):
+    def finish_batched_band(self, state, raw, fin_args, mesh=False):
         """Blocking second half of decode_dense_batched_band(return_device
-        =True): fetch, reconstruct per object (overflow → full-volume
-        fallback for that object), return (grids, levels)."""
-        from vtaco_tpu.generate.band import band_reconstruct
+        =True): fetch, then per object either reconstruct the grid
+        (default: returns ``(grids, levels)``) or extract the mesh
+        straight from the band payload (``mesh=True``: returns
+        ``(meshes, levels)`` — the fused native scanner, no grid).
+        Per-object overflow falls back to a full-volume fetch."""
+        from vtaco_tpu.generate.band import (
+            band_marching_cubes,
+            band_reconstruct,
+        )
         from vtaco_tpu.generate.mise import host_map
 
         nx, cap, c_batched, dtype, use_pallas = fin_args
         counts, levels, packed, vals = jax.device_get(raw)
         B = len(counts)
 
+        def full_grid(b):
+            self.band_overflows += 1
+            c_b = jax.tree.map(lambda x, b=b: x[b : b + 1], c_batched)
+            full = self.eval_points_dense(
+                state, nx, c_b, dtype=dtype,
+                transfer_dtype=jnp.float32, use_pallas=use_pallas,
+            )
+            return full.reshape(nx, nx, nx)
+
         def recon(b):
             if int(counts[b]) > cap:
-                self.band_overflows += 1
-                c_b = jax.tree.map(lambda x, b=b: x[b : b + 1], c_batched)
-                full = self.eval_points_dense(
-                    state, nx, c_b, dtype=dtype,
-                    transfer_dtype=jnp.float32, use_pallas=use_pallas,
-                )
-                return full.reshape(nx, nx, nx)
+                return full_grid(b)
             return band_reconstruct(nx, float(levels[b]), int(counts[b]),
                                     packed[b], vals[b])
 
-        grids = host_map(recon, range(B))
-        return grids, [float(lv) for lv in levels]
+        def extract(b):
+            if int(counts[b]) > cap:
+                from vtaco_tpu.generate.marching_cubes import marching_cubes
+
+                return marching_cubes(full_grid(b), level=float(levels[b]),
+                                      gradient="ascent")
+            return band_marching_cubes(nx, float(levels[b]),
+                                       int(counts[b]), packed[b], vals[b],
+                                       gradient="ascent")
+
+        out = host_map(extract if mesh else recon, range(B))
+        return out, [float(lv) for lv in levels]
 
     # ------------------------------------------------------------------
     def decode_points_batched(self, state, pts_b, c_batched, device_mesh=None,

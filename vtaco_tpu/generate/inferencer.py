@@ -162,9 +162,12 @@ class Inferencer:
             # releases the GIL) — mise.host_map is serial on 1-core hosts
             if use_band:
                 raw, fin_args = values
-                grids, levels = gen.finish_batched_band(state, raw,
-                                                        fin_args)
-                meshes = host_map(_mc_one, grids, levels)
+                # fused native scanner: meshes straight from the band
+                # payloads, no per-object grid reconstruction
+                raw_meshes, _ = gen.finish_batched_band(state, raw,
+                                                        fin_args, mesh=True)
+                meshes = [((v - nx / 2) * box / nx, f)
+                          for v, f in raw_meshes]
             else:
                 vals = np.asarray(values, np.float32)  # blocks: dev→host
                 meshes = host_map(_mc_one, list(vals))

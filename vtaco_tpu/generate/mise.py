@@ -444,7 +444,8 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
         # grid_to_coords to f32 roundoff, half the upload. The legacy
         # per-chunk loop costs a round trip per `chunk` points.
         t0 = _time.time()
-        if generator.input_type != "pointcloud_crop":
+        if (generator.input_type != "pointcloud_crop"
+                and generator._fast_capable()):
             vals = generator.eval_points_fast(
                 state, pts, c, gating, gate_pts, gate_feat, gate_valid,
                 lattice_reso=mg.resolution,
