@@ -803,6 +803,21 @@ class Trainer:
                     logits = model.apply(variables, p, c, method=model.decode)
             iou = metrics.compute_iou(occ_lbl, logits, self.threshold)
             out["iou"] = iou[0]
+            # companion conventional IoU (labels >= 0.5 vs
+            # sigmoid(logits) >= threshold). The legacy metric above
+            # thresholds BOTH sides at mean(logits) (reference quirk,
+            # common.py:33): once a model trains sharp (bimodal logits,
+            # mostly-empty query sets) that mean lands just above the
+            # negative mode and the reading collapses toward the positive
+            # fraction even when reconstruction is excellent — measured
+            # r5: quirk-iou 0.11 at held-out chamfer 0.0058. `iou` stays
+            # the model-selection default for reference parity; configs
+            # can select on iou_fixed instead.
+            thr_logit = jnp.log(self.threshold / (1.0 - self.threshold))
+            out["iou_fixed"] = metrics.compute_iou(
+                occ_lbl, (logits >= thr_logit).astype(jnp.float32), 0.5,
+                legacy_mean_threshold=False,
+            )[0]
 
             # optional voxel-grid IoU (training.py:374-390; the reference's
             # call signature there is broken — fixed-threshold IoU here)
