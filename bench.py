@@ -1145,12 +1145,18 @@ def main():
 
                 def mc_mise(grids, lvls):
                     # threads across objects on multi-core hosts; serial
-                    # here (1 core) — mise.host_map
+                    # here (1 core) — mise.host_map. MC the full (R+1)³
+                    # engine view in place (the single-object MISE path's
+                    # convention): the old [:-1]³ slice forced a
+                    # non-contiguous copy of every 66 MB grid — pure
+                    # cold-page-fault cost on this host class (~0.5 s/obj
+                    # in bad sessions), for a cosmetic vert-count match
+                    # with the dense-direct leg
                     from vtaco_tpu.generate.mise import host_map
 
                     return host_map(
                         lambda g, lv: marching_cubes(
-                            g[:-1, :-1, :-1], level=lv, gradient="ascent"),
+                            g, level=lv, gradient="ascent"),
                         grids, lvls,
                     )
 

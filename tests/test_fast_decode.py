@@ -541,15 +541,17 @@ def test_lattice_encode_host_native_matches_numpy(rng):
     produce identical arrays and equivalent residuals."""
     from vtaco_tpu.generate.generator import Generator3D
 
+    gen = Generator3D(None, resolution0=4)  # encoder unused here
     box = 1.1
     for reso, dt in ((127, np.uint8), (256, np.int16)):
         ii = rng.integers(0, reso + 1, (777, 3))
         p = (box * (ii.astype(np.float64) / reso - 0.5)).astype(np.float32)
         npad = 1024
-        got, resid = Generator3D._lattice_encode_host(p, box, reso, npad)
+        got, resid = gen._lattice_encode_host(p, box, reso, npad)
         assert got.dtype == dt and got.shape == (3, npad)
         np.testing.assert_array_equal(got[:, :777], ii.T)
-        assert got[:, 777:].max() == 0 and resid <= 1e-3
+        # tail [n:] is UNSPECIFIED (pooled buffer; callers pad it)
+        assert resid <= 1e-3
         # numpy reference (the fallback body)
         w = p.astype(np.float32).T * (reso / box) + 0.5 * reso
         r = np.rint(w)
@@ -557,8 +559,7 @@ def test_lattice_encode_host_native_matches_numpy(rng):
         # out-of-range coords poison the residual
         p_bad = p.copy()
         p_bad[0, 0] = box
-        _, resid_bad = Generator3D._lattice_encode_host(p_bad, box, reso,
-                                                        npad)
+        _, resid_bad = gen._lattice_encode_host(p_bad, box, reso, npad)
         assert resid_bad > 1e3
 
 

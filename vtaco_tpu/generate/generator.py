@@ -964,6 +964,26 @@ class Generator3D:
         cand = p if p // 4 * 3 < n else p // 4 * 3     # 1.5·2^(k-2) step
         return max(align, -(-cand // align) * align)
 
+    def _pooled(self, key, shape, dtype):
+        """Reusable host upload/packing buffer.
+
+        Fresh large numpy allocations on this host class pay a
+        pathological cold-page-fault cost (measured 80 MB/s cold vs
+        6 GB/s warm, session-dependent) — the serving paths' per-call
+        (3, npad) packing buffers alone cost hundreds of ms per flight.
+        Shapes are sticky-bucketed, so one buffer per key amortizes to
+        zero. SAFETY: callers must fully overwrite the buffer and must
+        not hold the previous call's view across a reuse (every shipped
+        caller consumes the upload synchronously before returning).
+        """
+        pool = getattr(self, "_upload_pool", None)
+        if pool is None:
+            pool = self._upload_pool = {}
+        buf = pool.get(key)
+        if buf is None or buf.shape != tuple(shape) or buf.dtype != dtype:
+            buf = pool[key] = np.empty(shape, dtype)
+        return buf
+
     def _sticky_bucket(self, sig, n: int) -> int:
         """Bucket with compile-reuse hysteresis: if a bucket already
         compiled for ``sig`` (a hashable program signature) is within 2×
@@ -1013,18 +1033,22 @@ class Generator3D:
                 return None
         return reso
 
-    @staticmethod
-    def _lattice_encode_host(p, box, reso, npad):
+    def _lattice_encode_host(self, p, box, reso, npad):
         """(N, 3) f32 world coords → ((3, npad) uint8/int16 lattice
         array, max residual in lattice units). One fused native pass
         (convert+verify+transpose ≈15 ms at 2.1M points on this host's
-        single core); numpy fallback if the extension can't build.
-        Out-of-range coords poison the residual → caller falls back."""
+        single core) into a POOLED buffer (the tail beyond n is
+        uninitialized — callers pad it); numpy fallback if the
+        extension can't build. Out-of-range coords poison the residual
+        → caller falls back."""
         n = len(p)
         try:
             from vtaco_tpu.native import geom
 
-            return geom.lattice_encode(p, box, reso, npad)
+            dt = np.uint8 if reso <= 255 else np.int16
+            buf = self._pooled(("lat_enc", dt.__name__, npad),
+                               (3, npad), dt)
+            return geom.lattice_encode(p, box, reso, npad, out=buf)
         except Exception:
             w = np.asarray(p, np.float32).T * (reso / box) + 0.5 * reso
             r = np.rint(w)
@@ -1219,19 +1243,21 @@ class Generator3D:
             npad = self._sticky_bucket(
                 ("scatter", gating, "lattice", "u8" if u8 else "i16",
                  dt_name), n)
-            pts = np.zeros((3, npad), np.uint8 if u8 else np.int16)
-            pts[:, :n] = li.astype(pts.dtype).T
+            pdt = np.uint8 if u8 else np.int16
+            pts = self._pooled(("sc_lat", pdt.__name__, npad),
+                               (3, npad), pdt)
+            pts[:, :n] = li.astype(pdt).T
         elif coord_quant or quant_fallback:
             coord_quant = True  # static arg for the in-program dequant
             npad = self._sticky_bucket(
                 ("scatter", gating, "quant", dt_name), n)
             u = pf.astype(np.float32).T / box + 0.5
-            pts = np.zeros((3, npad), np.uint16)
+            pts = self._pooled(("sc_quant", npad), (3, npad), np.uint16)
             pts[:, :n] = np.round(np.clip(u, 0.0, 1.0) * 65535.0)
         else:
             npad = self._sticky_bucket(
                 ("scatter", gating, "f32", dt_name), n)
-            pts = np.zeros((3, npad), np.float32)
+            pts = self._pooled(("sc_f32", npad), (3, npad), np.float32)
             pts[:, :n] = pf.astype(np.float32, copy=False).T
         if 0 < n < pts.shape[1]:
             # pad with copies of the last real point, not zeros: the int8
@@ -1893,7 +1919,7 @@ class Generator3D:
     def decode_points_batched(self, state, pts_b, c_batched, device_mesh=None,
                               transfer_dtype=jnp.bfloat16, fast=None,
                               use_pallas=None, lattice_reso=None,
-                              coord_quant=None):
+                              coord_quant=None, pts_cn=None, n_real=None):
         """Batched scattered decode: (B, M, 3) host points against (B, ...)
         feature fields → (B, M) logits, all in ONE dispatch.
 
@@ -1915,9 +1941,21 @@ class Generator3D:
         units, half the f32 payload). ``None`` defers to the
         generator's 'auto' setting (TPU only); lattice inputs are
         unaffected (already compact and exact).
+
+        ``pts_cn`` (+``n_real``): a PRE-PACKED (B, 3, mpad) int16 lattice
+        upload buffer (pad slots already filled, e.g. by
+        MultiGridExtractorNative.query_cn into a pooled buffer) — skips
+        this method's zero-alloc + transpose-copy of the (B, M, 3) input,
+        which cost ~0.5-1 s/flight in cold-page faults + strided copies
+        at batched-MISE sizes on a 1-core host.
         """
-        pts_b = np.asarray(pts_b, np.int16 if lattice_reso else np.float32)
-        B, M = pts_b.shape[:2]
+        if pts_cn is not None:
+            assert lattice_reso is not None and n_real is not None
+            B, M = pts_cn.shape[0], int(n_real)
+        else:
+            pts_b = np.asarray(pts_b,
+                               np.int16 if lattice_reso else np.float32)
+            B, M = pts_b.shape[:2]
         if fast is None:
             fast = self.input_type != "pointcloud_crop"
         if lattice_reso is not None and not fast:
@@ -1938,27 +1976,31 @@ class Generator3D:
                 state.params["decoder"], self.model.decoder.n_blocks,
                 with_img=False,
             )
-            mpad = self._sticky_bucket(
-                ("scatter_batched", B, lattice_reso is not None,
-                 bool(coord_quant), jnp.dtype(transfer_dtype).name), M,
-            )
-            if lattice_reso is not None:
-                pdt = np.int16
-            elif coord_quant:
-                pdt = np.uint16
-            else:
-                pdt = np.float32
-            pts_cn = np.zeros((B, 3, mpad), pdt)
-            if coord_quant and lattice_reso is None:
-                box = 1 + self.padding
-                u = pts_b.transpose(0, 2, 1).astype(np.float32) / box + 0.5
-                pts_cn[:, :, :M] = np.round(np.clip(u, 0.0, 1.0) * 65535.0)
-            else:
-                pts_cn[:, :, :M] = pts_b.transpose(0, 2, 1)
-            if 0 < M < mpad:
-                # pad with the last real point (not zeros) so the int8
-                # quantization scale reflects only real queries
-                pts_cn[:, :, M:] = pts_cn[:, :, M - 1 : M]
+            if pts_cn is None:
+                mpad = self._sticky_bucket(
+                    ("scatter_batched", B, lattice_reso is not None,
+                     bool(coord_quant), jnp.dtype(transfer_dtype).name), M,
+                )
+                if lattice_reso is not None:
+                    pdt = np.int16
+                elif coord_quant:
+                    pdt = np.uint16
+                else:
+                    pdt = np.float32
+                pts_cn = np.zeros((B, 3, mpad), pdt)
+                if coord_quant and lattice_reso is None:
+                    box = 1 + self.padding
+                    u = (pts_b.transpose(0, 2, 1).astype(np.float32) / box
+                         + 0.5)
+                    pts_cn[:, :, :M] = np.round(
+                        np.clip(u, 0.0, 1.0) * 65535.0
+                    )
+                else:
+                    pts_cn[:, :, :M] = pts_b.transpose(0, 2, 1)
+                if 0 < M < mpad:
+                    # pad with the last real point (not zeros) so the int8
+                    # quantization scale reflects only real queries
+                    pts_cn[:, :, M:] = pts_cn[:, :, M - 1 : M]
             cache = getattr(self, "_decode_pts_batched_fast", None)
             if cache is None:
                 cache = self._decode_pts_batched_fast = {}

@@ -315,7 +315,7 @@ class _Geom:
         )
         return out
 
-    def lattice_encode(self, points, box, reso, npad):
+    def lattice_encode(self, points, box, reso, npad, out=None):
         """Fused convert+verify+transpose of (N, 3) f32 world coords into
         the scattered decode's (3, npad) integer lattice layout,
         ``w = rint((p/box + 0.5)·reso)`` — uint8 when reso ≤ 255 else
@@ -328,7 +328,12 @@ class _Geom:
         lib = self._ensure()
         p = np.ascontiguousarray(points, np.float32)
         dt = np.uint8 if reso <= 255 else np.int16
-        out = np.zeros((3, npad), dt)
+        if out is None:
+            out = np.zeros((3, npad), dt)
+        else:
+            # pooled buffer: the encoder writes only [:n]; callers
+            # overwrite the pad tail themselves (generator pad line)
+            assert out.shape == (3, npad) and out.dtype == dt
         resid = lib.vtaco_lattice_encode(
             p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(p),
             ctypes.c_float(box), ctypes.c_float(reso),
