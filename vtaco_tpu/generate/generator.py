@@ -1363,7 +1363,8 @@ class Generator3D:
         if lib is not None and pf32.flags["C_CONTIGUOUS"]:
             import ctypes
 
-            out = np.empty((3, npad), dt)
+            out = self._pooled(("win_pay", dt.__name__, npad),
+                               (3, npad), dt)
             c_f = ctypes.POINTER(ctypes.c_float)
             c_i = ctypes.POINTER(ctypes.c_int32)
             lib.vtaco_window_permute(
@@ -1381,7 +1382,7 @@ class Generator3D:
                 * np.float32(65535.0)).astype(np.uint16)
         else:
             payload = pf32
-        out = np.zeros((3, npad), dt)
+        out = self._pooled(("win_pay", dt.__name__, npad), (3, npad), dt)
         out[:, :n] = payload[order].T
         if n < npad:
             out[:, n:] = out[:, n - 1:n]
