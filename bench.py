@@ -376,9 +376,12 @@ def main():
         )  # warm/compile
         for r in range(max(args.repeats, 2)):
             t0 = time.time()
+            # distinct variant per iteration even at --repeats 1: the
+            # remote layer serves identical (program, args) re-executions
+            # from cache, which would fake the min
             gen.eval_points_dense_band(
-                state, nx, c_variants[(r % args.repeats) + 1], args.gating,
-                gate_pts, gate_feat, gate_valid,
+                state, nx, c_variants[(r % (len(c_variants) - 1)) + 1],
+                args.gating, gate_pts, gate_feat, gate_valid,
             )
             t_decode_band = min(t_decode_band, time.time() - t0)
         band_mb = (n_points / 8 + cap * 4 + 8) / 2**20

@@ -336,6 +336,9 @@ def test_attention_decoder(rng):
     with pytest.raises(NotImplementedError):
         gen.decode_dense_batched(S(), 8, c_plane)
     with pytest.raises(NotImplementedError):
+        gen.decode_points_batched(S(), np.zeros((2, 8, 3), np.float32),
+                                  c_plane)
+    with pytest.raises(NotImplementedError):
         gen.decode_dense_batched_band(S(), 8, c_plane)
     with pytest.raises(NotImplementedError):
         gen.eval_points_dense_band(S(), 8, c_plane)

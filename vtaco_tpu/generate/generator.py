@@ -1807,12 +1807,7 @@ class Generator3D:
         overflow falls back to a full-volume fetch for that object) and
         the per-object iso levels to pass to marching cubes.
         """
-        from vtaco_tpu.generate.band import (
-            band_extract,
-            band_reconstruct,
-            default_cap,
-        )
-        from vtaco_tpu.generate.mise import host_map
+        from vtaco_tpu.generate.band import band_extract, default_cap
         from vtaco_tpu.ops import fast_trunk as FT
 
         if cap is None:
@@ -1966,6 +1961,12 @@ class Generator3D:
                            and self._coord_quant_enabled())
         elif coord_quant and (lattice_reso is not None or not fast):
             raise ValueError("coord_quant needs the fast non-lattice path")
+        if fast and not self._fast_capable():
+            raise NotImplementedError(
+                "decode_points_batched's fast path reproduces LocalDecoder "
+                f"semantics only; got {type(self.model.decoder).__name__} "
+                "(pass fast=False for the module decode path)"
+            )
         if fast:
             from vtaco_tpu.ops import fast_trunk as FT
 
@@ -2102,12 +2103,13 @@ class Generator3D:
     def _obj_mesh_band(self, state, nx, mode, inputs, imgs, depths, touch,
                        pc_ply, mano_gt, wrist, cam_pos, cam_rot, seed,
                        cap=None, dtype=jnp.float32, use_pallas=None):
-        """One-dispatch mesh-extraction front half: the fused
-        encode+gate+decode+band program (``_mesh_band_impl``) plus host
-        band reconstruction. Returns ``(value_grid, level)``, or None on
+        """One-dispatch mesh extraction: the fused
+        encode+gate+decode+band program (``_mesh_band_impl``), then the
+        fused native band scanner emits the mesh with no intermediate
+        grid. Returns ``(verts, faces)`` in voxel coordinates, or None on
         band-buffer overflow (caller falls back to the multi-dispatch
         full-transfer path)."""
-        from vtaco_tpu.generate.band import band_reconstruct, default_cap
+        from vtaco_tpu.generate.band import default_cap
         from vtaco_tpu.ops import fast_trunk as FT
 
         if cap is None:

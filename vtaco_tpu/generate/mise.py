@@ -74,9 +74,16 @@ def _voxel_boundary(occ):
 
 class _EngineView(np.ndarray):
     """ndarray view over C++-engine memory; ``_keepalive`` pins the owning
-    extractor (and therefore the buffer) for the view's lifetime."""
+    extractor (and therefore the buffer) for the view's lifetime. The pin
+    ALSO lives on the underlying ctypes buffer object (values_view), so
+    base-class conversions (np.asarray / ascontiguousarray) that drop the
+    subclass still keep the engine alive through their ``.base`` chain."""
 
     _keepalive = None
+
+    def __array_finalize__(self, obj):
+        # propagate the pin through subclass views/slices
+        self._keepalive = getattr(obj, "_keepalive", None)
 
 
 class MultiGridExtractorNumpy:
@@ -265,6 +272,9 @@ class MultiGridExtractorNative:
         n = self.resolution + 1
         ptr = self._lib.vtaco_mise_values_ptr(self._h)
         buf = (self._ct.c_float * (n * n * n)).from_address(ptr)
+        # pin on the ctypes buffer: every derived array (incl. base-class
+        # conversions like np.ascontiguousarray) reaches it via .base
+        buf._keepalive = self
         arr = np.frombuffer(buf, np.float32).reshape(n, n, n)
         view = arr.view(_EngineView)
         view._keepalive = self
@@ -567,13 +577,8 @@ def multires_decode_batched(generator, state, c_batched, resolution0,
                 ("scatter_batched", B, True, False,
                  jnp.dtype(generator.transfer_dtype).name), M,
             )
-            pool = getattr(generator, "_upload_pool", None)
-            if pool is None:
-                pool = generator._upload_pool = {}
-            pkey = ("mise_cn", B, mpad)
-            buf = pool.get(pkey)
-            if buf is None:
-                buf = pool[pkey] = np.empty((B, 3, mpad), np.int16)
+            buf = generator._pooled(("mise_cn", B, mpad),
+                                    (B, 3, mpad), np.int16)
             host_map(lambda mg, bb: mg.query_cn(mpad, out=buf[bb]),
                      mgs, range(B))
             st["host_s"] += _time.time() - t0
