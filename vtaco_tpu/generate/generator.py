@@ -2051,6 +2051,26 @@ class Generator3D:
                     pts_dev, NamedSharding(device_mesh, P("data"))
                 )
             out = cache[key](tp, pts_dev, c_batched, lattice_reso)
+            if pts_cn is not None:
+                # internal prepacked path (batched MISE): convert into a
+                # POOLED f32 buffer — the dequant/astype pair otherwise
+                # allocates 2×(B, mpad) f32 fresh per level, pure
+                # cold-page-fault cost in bad host weather. The returned
+                # slice ALIASES the pool: the caller must consume it
+                # before the next decode_points_batched call (the MISE
+                # loop applies it to the engines immediately).
+                mpad_out = (out[0] if isinstance(out, tuple)
+                            else out).shape[1]
+                buf = self._pooled(("pb_vals", pts_cn.shape[0], mpad_out),
+                                   (pts_cn.shape[0], mpad_out), np.float32)
+                if jnp.dtype(transfer_dtype) == jnp.dtype(jnp.int8):
+                    q, scale = out
+                    np.multiply(np.asarray(q),
+                                np.asarray(scale)[:, None].astype(np.float32),
+                                out=buf, casting="unsafe")
+                else:
+                    np.copyto(buf, np.asarray(out), casting="unsafe")
+                return buf[:, :M]
             if jnp.dtype(transfer_dtype) == jnp.dtype(jnp.int8):
                 q, scale = out
                 return (np.asarray(q).astype(np.float32)
