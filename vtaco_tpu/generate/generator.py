@@ -2309,14 +2309,17 @@ class Generator3D:
         )
         inputs = jnp.asarray(data["inputs"])
         c = self._apply(state, self.model.encode_inputs, inputs, train=False)
-        # refinement + iso level in logit space: logit(p=0.5) = 0
-        thr_logit = float(np.log(self.threshold / (1 - self.threshold)))
-        values, thr_logit = multires_decode(
-            self, state, c, res0, steps, thr_logit
-        )
+        # refinement + iso level in VALUE space: the decoder regresses
+        # occupancy values (L1 to {0,1}/winding targets — see the
+        # iou_fixed note in train/trainer.py), so the p=0.5 surface sits
+        # at value `threshold` (0.5), not at log-odds 0 (the old
+        # conversion put the iso inside the empty-space noise floor of a
+        # trained field)
+        thr = float(self.threshold)
+        values, thr = multires_decode(self, state, c, res0, steps, thr)
         reso = res0 * 2**steps
         box = 1 + self.padding
-        verts, faces = marching_cubes(values, level=thr_logit,
+        verts, faces = marching_cubes(values, level=thr,
                                       gradient="ascent")
         verts = (verts / reso - 0.5) * box
         return verts, faces

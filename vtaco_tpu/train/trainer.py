@@ -803,20 +803,20 @@ class Trainer:
                     logits = model.apply(variables, p, c, method=model.decode)
             iou = metrics.compute_iou(occ_lbl, logits, self.threshold)
             out["iou"] = iou[0]
-            # companion conventional IoU (labels >= 0.5 vs
-            # sigmoid(logits) >= threshold). The legacy metric above
-            # thresholds BOTH sides at mean(logits) (reference quirk,
-            # common.py:33): once a model trains sharp (bimodal logits,
-            # mostly-empty query sets) that mean lands just above the
-            # negative mode and the reading collapses toward the positive
-            # fraction even when reconstruction is excellent — measured
-            # r5: quirk-iou 0.11 at held-out chamfer 0.0058. `iou` stays
-            # the model-selection default for reference parity; configs
-            # can select on iou_fixed instead.
-            thr_logit = jnp.log(self.threshold / (1.0 - self.threshold))
+            # companion conventional IoU. The decoder's outputs are
+            # occupancy-VALUE regressions (every loss path L1-fits them
+            # to {0,1} labels / continuous winding numbers,
+            # training.py:492,641,726 — the reference's Bernoulli wrapper
+            # is never used for thresholds), so the fixed decision
+            # boundary lives in VALUE space at ``self.threshold`` (0.5),
+            # NOT at the log-odds 0. The legacy metric above thresholds
+            # BOTH sides at mean(prediction) (reference quirk,
+            # common.py:33), which wanders with the field's calibration;
+            # `iou` stays the model-selection default for reference
+            # parity, configs can select on iou_fixed instead.
             out["iou_fixed"] = metrics.compute_iou(
-                occ_lbl, (logits >= thr_logit).astype(jnp.float32), 0.5,
-                legacy_mean_threshold=False,
+                occ_lbl, (logits >= self.threshold).astype(jnp.float32),
+                0.5, legacy_mean_threshold=False,
             )[0]
 
             # optional voxel-grid IoU (training.py:374-390; the reference's
