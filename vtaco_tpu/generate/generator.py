@@ -2172,6 +2172,43 @@ class Generator3D:
                                            vals, gradient="ascent")
         return verts, faces
 
+    def _build_gates(self, state, inputs, imgs, depths, touch, pc_ply,
+                     mano_gt, wrist, cam_pos, cam_rot, seed=0):
+        """Tactile-feature gating inputs for a B=1 sample: contact-point
+        gates (t2d path, generation.py:202-255) or fingertip-proximity
+        gates (generation.py:159-200), or none. Shared by the dense
+        full-transfer mesh path and the MISE multi-resolution path."""
+        if not self.with_img:
+            return "none", None, None, None
+        c_img = self._apply(
+            state, self.model.encode_img_inputs, imgs, train=False
+        )  # (1, 5, C)
+        if self.encode_t2d:
+            H, W = imgs.shape[2], imgs.shape[3]
+            hw = H * W
+            pred_depth, _ = self._apply(
+                state, self.model.encode_t2d, inputs, imgs, train=False
+            )
+            d_origin = (
+                jnp.asarray(self.depth_origin)
+                if self.depth_origin is not None
+                and len(self.depth_origin) == hw
+                else jnp.full((hw,), DEPTH_REST)
+            )
+            gate_pts, gate_valid = self._prep_contact_gates(
+                depths[0], pred_depth[0], d_origin, touch[0],
+                cam_rot[0], cam_pos[0], pc_ply[0], H, W, seed=seed,
+            )
+            return "contact", gate_pts, c_img[0], gate_valid
+        # fingertip proximity
+        c_hand = self._apply(
+            state, self.model.encode_hand_inputs, inputs, train=False
+        )
+        tips = C.tips_in_object_frame(
+            c_hand["mano_joints"], mano_gt[:, :3], wrist, pc_ply
+        )[0]
+        return "tips", tips, c_img[0], touch[0]
+
     def generate_obj_mesh_wnf(self, state, data, seed=0):
         """Dense-grid decode + marching cubes + metrics.
 
@@ -2216,46 +2253,10 @@ class Generator3D:
         if verts is None:
             c = self._apply(state, self.model.encode_inputs, inputs,
                             train=False)
-
-            gating = "none"
-            gate_pts = gate_feat = gate_valid = None
-            if self.with_img:
-                c_img = self._apply(
-                    state, self.model.encode_img_inputs, imgs, train=False
-                )  # (1, 5, C)
-                if self.encode_t2d:
-                    H, W = imgs.shape[2], imgs.shape[3]
-                    hw = H * W
-                    pred_depth, _ = self._apply(
-                        state, self.model.encode_t2d, inputs, imgs,
-                        train=False
-                    )
-                    d_origin = (
-                        jnp.asarray(self.depth_origin)
-                        if self.depth_origin is not None
-                        and len(self.depth_origin) == hw
-                        else jnp.full((hw,), DEPTH_REST)
-                    )
-                    gate_pts, gate_valid = self._prep_contact_gates(
-                        depths[0], pred_depth[0], d_origin, touch[0],
-                        cam_rot[0], cam_pos[0], pc_ply[0], H, W, seed=seed,
-                    )
-                    gating = "contact"
-                    gate_feat = c_img[0]                        # (5, C)
-                else:
-                    # fingertip proximity (generation.py:159-200)
-                    c_hand = self._apply(
-                        state, self.model.encode_hand_inputs, inputs,
-                        train=False
-                    )
-                    tips = C.tips_in_object_frame(
-                        c_hand["mano_joints"], mano_gt[:, :3], wrist, pc_ply
-                    )[0]
-                    gating = "tips"
-                    gate_pts = tips                             # (5, 3)
-                    gate_feat = c_img[0]                        # (5, C)
-                    gate_valid = touch[0]
-
+            gating, gate_pts, gate_feat, gate_valid = self._build_gates(
+                state, inputs, imgs, depths, touch, pc_ply, mano_gt, wrist,
+                cam_pos, cam_rot, seed,
+            )
             values = self.eval_points_dense(
                 state, nx, c, gating, gate_pts, gate_feat, gate_valid,
                 transfer_dtype=self.transfer_dtype,
@@ -2293,13 +2294,18 @@ class Generator3D:
 
     # ------------------------------------------------------------------
     def generate_obj_mesh_mise(self, state, data, resolution0=None,
-                               upsampling_steps=None):
+                               upsampling_steps=None, seed=0):
         """High-resolution extraction via MISE coarse-to-fine refinement.
 
         Final resolution = resolution0 * 2**upsampling_steps (e.g. 64 * 2²
         = 256³ while evaluating only a few percent of the dense grid). The
-        multi-resolution counterpart of generate_obj_mesh_wnf for the
-        plain-occupancy path.
+        multi-resolution counterpart of generate_obj_mesh_wnf — for
+        with_img models the tactile-feature gating (contact/tips) runs
+        through the refinement exactly as in the dense path, so the
+        TRAINED decode head (forward_img) drives the extraction. (The
+        reference's MISE machinery is dead code, src/utils/mesh.py; its
+        shipped mesh path always decodes with decode_img — a gating-free
+        MISE on a VTacO model would query the never-trained plain head.)
         """
         from vtaco_tpu.generate.mise import multires_decode
 
@@ -2308,15 +2314,55 @@ class Generator3D:
             self.upsampling_steps
         )
         inputs = jnp.asarray(data["inputs"])
+        imgs = (jnp.asarray(data["inputs.img"])
+                if "inputs.img" in data else None)
+        depths = (jnp.asarray(data["inputs.depth"])
+                  if "inputs.depth" in data else None)
+        touch = (
+            jnp.asarray(np.asarray(data["inputs.touch_success"]) > 0.5)
+            if "inputs.touch_success" in data else None
+        )
+        pc_ply = (jnp.asarray(data["inputs.pc_ply"])
+                  if "inputs.pc_ply" in data else None)
+        mano_gt = (jnp.asarray(data["points.mano"])
+                   if "points.mano" in data else None)
+        wrist = (jnp.asarray(data["points.wrist"])
+                 if "points.wrist" in data else None)
+        cam_pos = (jnp.asarray(data["points.cam_pos"])
+                   if "points.cam_pos" in data else None)
+        cam_rot = (jnp.asarray(data["points.cam_rot"])
+                   if "points.cam_rot" in data else None)
+        gating = "none"
+        gate_pts = gate_feat = gate_valid = None
+        if self.with_img and imgs is not None:
+            gating, gate_pts, gate_feat, gate_valid = self._build_gates(
+                state, inputs, imgs, depths, touch, pc_ply, mano_gt,
+                wrist, cam_pos, cam_rot, seed,
+            )
         c = self._apply(state, self.model.encode_inputs, inputs, train=False)
-        # refinement + iso level in VALUE space: the decoder regresses
-        # occupancy values (L1 to {0,1}/winding targets — see the
-        # iou_fixed note in train/trainer.py), so the p=0.5 surface sits
-        # at value `threshold` (0.5), not at log-odds 0 (the old
-        # conversion put the iso inside the empty-space noise floor of a
-        # trained field)
-        thr = float(self.threshold)
-        values, thr = multires_decode(self, state, c, res0, steps, thr)
+        # Refinement + iso level selection mirrors the dense path's
+        # ``mc_level`` semantics. An explicit numeric mc_level pins the
+        # level in VALUE space (the decoder regresses occupancy values —
+        # see the iou_fixed note in train/trainer.py; the old
+        # log(t/(1-t)) conversion put an intended 0.5 at 0, inside the
+        # noise floor). The 'midpoint'/'mean' defaults SELF-CALIBRATE
+        # from the coarse field (threshold=None → coarse mean): the
+        # reference initializes generation-time c_img_all to zeros while
+        # t2d training used ones (generation.py:173,223 vs
+        # training.py:814 — a mirrored quirk), which shifts the field's
+        # absolute calibration at inference; its skimage midpoint default
+        # absorbs that, and so does this.
+        if isinstance(self.mc_level, (int, float)) and not isinstance(
+                self.mc_level, bool):
+            thr = float(self.mc_level)
+        elif self.mc_level == "mean":
+            thr = None  # coarse-field mean
+        else:
+            thr = "midpoint"  # coarse-field (min+max)/2 — the default
+        values, thr = multires_decode(self, state, c, res0, steps, thr,
+                                      gating=gating, gate_pts=gate_pts,
+                                      gate_feat=gate_feat,
+                                      gate_valid=gate_valid)
         reso = res0 * 2**steps
         box = 1 + self.padding
         verts, faces = marching_cubes(values, level=thr,

@@ -413,9 +413,14 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
     cubes so the extraction matches the refinement.
 
     ``threshold=None`` derives the iso level from the coarse field's mean
-    (the generator's ``mc_level: 'mean'`` semantics) — use it when the
-    caller has no calibrated level, e.g. with untrained weights whose
-    logit range is unknown. ``chunk`` is kept for API compatibility; the
+    (the generator's ``mc_level: 'mean'`` semantics);
+    ``threshold='midpoint'`` uses (min+max)/2 of the coarse field (the
+    skimage-parity default of the dense path — robust when one mode
+    dominates the field, where the mean sits inside that mode's noise).
+    Use these self-calibrating forms when the caller has no calibrated
+    level — e.g. untrained weights, or the t2d models whose
+    generation-time c_img base differs from training's (the mirrored
+    reference quirk, generation.py:173,223 vs training.py:814). ``chunk`` is kept for API compatibility; the
     refinement now runs through Generator3D.eval_points (size-bucketed
     single dispatch per level). ``stats`` (optional dict) receives a
     wall-time split: ``coarse_s`` (batched dense level-0 incl. transfer),
@@ -444,6 +449,8 @@ def multires_decode(generator, state, c, resolution0, upsampling_steps,
     st["coarse_s"] += _time.time() - t0
     if threshold is None:
         threshold = float(values0.mean())
+    elif threshold == "midpoint":
+        threshold = (float(values0.min()) + float(values0.max())) / 2.0
     t0 = _time.time()
     mg = MultiGridExtractor(resolution0, threshold, invert=False)
     # dense grid spans ±0.5*box at indices 0..n0-1 == corners 0..reso0
